@@ -1,0 +1,221 @@
+"""Exact k-NN descriptor matching on the MXU.
+
+Replaces OpenCV FLANN/BFMatcher ``knnMatch`` (reference matcher.py:203-216
+``raw_matches``; configure at matcher.py:43-80). The reference uses
+*approximate* FLANN KD-trees on the CPU; on TPU the exact computation is a
+(n_a × 128) · (128 × n_b) matmul — MXU food — so we do exact k-NN, which is
+strictly better match quality at far higher throughput.
+
+Two implementations with identical semantics:
+
+- ``knn_top2_ref`` — plain jnp (materializes the distance matrix; fine for
+  small problems, CPU tests, and as the parity oracle);
+- ``knn_top2`` — Pallas kernel that streams B-tiles through VMEM, keeping a
+  running row top-2 (and column top-1 for mutual cross-checking) so the
+  n_a × n_b distance matrix never touches HBM. Flash-attention-style.
+
+Both return, for squared-L2 distance:
+  row_d:  (n_a, 2) two smallest distances per A-descriptor
+  row_i:  (n_a, 2) corresponding B indices
+  col_d:  (n_b,)   smallest distance per B-descriptor (for cross-check)
+  col_i:  (n_b,)   corresponding A index
+
+Padding convention: callers pad descriptor arrays to static shapes with
+``PAD_VALUE`` rows; padded rows are then never anyone's nearest neighbor and
+their own results are garbage to be masked by the caller (see pad_descriptors).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD_VALUE = 1.0e4  # descriptor fill for padded rows; SIFT values are ≤ 512
+
+_BIG = 3.0e10  # > any real squared distance (128 · (2·512)² ≈ 1.3e8; pads ~1e10)
+
+
+def pad_descriptors(desc, n_pad):
+    """Pad (n, d) descriptors to (n_pad, d) with PAD_VALUE rows."""
+    n = desc.shape[0]
+    out = jnp.full((n_pad, desc.shape[1]), PAD_VALUE, dtype=desc.dtype)
+    return jax.lax.dynamic_update_slice(out, desc, (0, 0))
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementation
+# ---------------------------------------------------------------------------
+
+def knn_top2_ref(desc_a, desc_b, bf16=True):
+    """Exact 2-NN by squared L2, materializing the distance matrix."""
+    na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1)
+    nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1)
+    if bf16:
+        ab = jnp.dot(desc_a.astype(jnp.bfloat16), desc_b.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    else:
+        ab = jnp.dot(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32).T)
+    d2 = na2[:, None] + nb2[None, :] - 2.0 * ab
+    neg_top, row_i = jax.lax.top_k(-d2, 2)
+    row_d = -neg_top
+    col_d = jnp.min(d2, axis=0)
+    col_i = jnp.argmin(d2, axis=0).astype(jnp.int32)
+    return row_d, row_i.astype(jnp.int32), col_d, col_i
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _knn_kernel(a_ref, b_ref, row_d_ref, row_i_ref, col_d_ref, col_i_ref,
+                r1_ref, r2_ref, i1_ref, i2_ref, *, tile_a, tile_b, bf16):
+    ia = pl.program_id(0)
+    ib = pl.program_id(1)
+    nb_tiles = pl.num_programs(1)
+
+    a = a_ref[:]
+    b = b_ref[:]
+    if bf16:
+        ab = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16).T,
+                     preferred_element_type=jnp.float32)
+    else:
+        ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    na2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1)
+    nb2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
+    d2 = na2[:, None] + nb2[None, :] - 2.0 * ab  # (tile_a, tile_b)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 0)
+
+    # block row top-2
+    m1 = jnp.min(d2, axis=1)
+    i1 = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    d2_m = jnp.where(cols == i1[:, None], _BIG, d2)
+    m2 = jnp.min(d2_m, axis=1)
+    i2 = jnp.argmin(d2_m, axis=1).astype(jnp.int32)
+    gi1 = ib * tile_b + i1
+    gi2 = ib * tile_b + i2
+
+    # reset running row state at the start of each B sweep
+    @pl.when(ib == 0)
+    def _():
+        r1_ref[:] = jnp.full((tile_a,), _BIG, jnp.float32)
+        r2_ref[:] = jnp.full((tile_a,), _BIG, jnp.float32)
+        i1_ref[:] = jnp.zeros((tile_a,), jnp.int32)
+        i2_ref[:] = jnp.zeros((tile_a,), jnp.int32)
+
+    r1, r2 = r1_ref[:], r2_ref[:]
+    ri1, ri2 = i1_ref[:], i2_ref[:]
+    # merge sorted pairs (r1<=r2, m1<=m2): new1 = min(r1,m1),
+    # new2 = min(max(r1,m1), min(r2,m2))
+    take_m = m1 < r1
+    n1 = jnp.where(take_m, m1, r1)
+    ni1 = jnp.where(take_m, gi1, ri1)
+    lo = jnp.where(take_m, r1, m1)          # max(r1, m1)
+    lo_i = jnp.where(take_m, ri1, gi1)
+    hi = jnp.where(r2 < m2, r2, m2)         # min(r2, m2)
+    hi_i = jnp.where(r2 < m2, ri2, gi2)
+    take_lo = lo < hi
+    n2 = jnp.where(take_lo, lo, hi)
+    ni2 = jnp.where(take_lo, lo_i, hi_i)
+    r1_ref[:] = n1
+    r2_ref[:] = n2
+    i1_ref[:] = ni1
+    i2_ref[:] = ni2
+
+    @pl.when(ib == nb_tiles - 1)
+    def _():
+        row_d_ref[:] = jnp.stack([r1_ref[:], r2_ref[:]], axis=1)
+        row_i_ref[:] = jnp.stack([i1_ref[:], i2_ref[:]], axis=1)
+
+    # column top-1, accumulated across A tiles (output block revisited)
+    cm = jnp.min(d2, axis=0)
+    ci = (ia * tile_a + jnp.argmin(d2, axis=0)).astype(jnp.int32)
+
+    @pl.when(ia == 0)
+    def _():
+        col_d_ref[:] = cm
+        col_i_ref[:] = ci
+
+    @pl.when(ia > 0)
+    def _():
+        old = col_d_ref[:]
+        better = cm < old
+        col_d_ref[:] = jnp.where(better, cm, old)
+        col_i_ref[:] = jnp.where(better, ci, col_i_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "bf16"))
+def knn_top2(desc_a, desc_b, tile_a=256, tile_b=512, bf16=True):
+    """Fused streaming 2-NN. desc_a: (n_a, d), desc_b: (n_b, d); n_a % tile_a
+    and n_b % tile_b must be 0 (use pad_descriptors)."""
+    n_a, d = desc_a.shape
+    n_b = desc_b.shape[0]
+    assert n_a % tile_a == 0 and n_b % tile_b == 0, (n_a, n_b, tile_a, tile_b)
+    grid = (n_a // tile_a, n_b // tile_b)
+
+    kernel = functools.partial(_knn_kernel, tile_a=tile_a, tile_b=tile_b, bf16=bf16)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b,), lambda ia, ib: (ib,)),
+            pl.BlockSpec((tile_b,), lambda ia, ib: (ib,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_a, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_a, 2), jnp.int32),
+            jax.ShapeDtypeStruct((n_b,), jnp.float32),
+            jax.ShapeDtypeStruct((n_b,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_a,), jnp.float32),
+            pltpu.VMEM((tile_a,), jnp.float32),
+            pltpu.VMEM((tile_a,), jnp.int32),
+            pltpu.VMEM((tile_a,), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(desc_a, desc_b)
+
+
+# ---------------------------------------------------------------------------
+# Match assembly (ratio test + mutual cross-check), dense form
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "bf16", "mutual"))
+def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
+                     use_pallas=False, bf16=True):
+    """Lowe-ratio + mutual-consistency matching of one descriptor pair.
+
+    desc_a/desc_b are padded to static shapes; n_a/n_b give the real counts.
+    Returns (best_j, valid): for each A row its best B index, and whether the
+    match survives the ratio test (reference matcher.py:239-257: L2 distances
+    d1 < ratio·d2, applied here on squared distances as d1 < ratio²·d2) and
+    the bidirectional cross-check (reference matcher.py:187-201, 304-356).
+    """
+    if use_pallas:
+        row_d, row_i, col_d, col_i = knn_top2(desc_a, desc_b, bf16=bf16)
+    else:
+        row_d, row_i, col_d, col_i = knn_top2_ref(desc_a, desc_b, bf16=bf16)
+
+    n_a_pad = desc_a.shape[0]
+    arange_a = jnp.arange(n_a_pad, dtype=jnp.int32)
+    best_j = row_i[:, 0]
+    d1 = jnp.maximum(row_d[:, 0], 0.0)
+    d2 = jnp.maximum(row_d[:, 1], 0.0)
+    ok = d1 < (ratio * ratio) * d2
+    if mutual:
+        ok &= col_i[best_j] == arange_a
+    ok &= arange_a < n_a
+    ok &= best_j < n_b
+    return best_j, ok

@@ -1,0 +1,281 @@
+"""Batched-hypothesis RANSAC: homography, fundamental, essential, similarity.
+
+Replaces cv2.findHomography / findFundamentalMat / findEssentialMat /
+estimateAffinePartial2D with RANSAC (reference matcher.py:90-142
+``filter_by_transform``, matcher.py:452/532/637/803 homography seeds,
+smart.py:66-114 affine). The reference's sequential adaptive RANSAC becomes a
+**fixed-size hypothesis batch**: sample H hypotheses at once, solve all
+minimal problems with one batched linear-algebra call, score all of them
+against all points with one (H × N) evaluation, take the argmax, then refit on
+the winner's inliers. Deterministic given the PRNG key (the reference seeds
+FLANN/RANSAC from the clock — matcher.py:35-37; we are reproducible).
+
+All functions are jit/vmap-clean with static shapes: points come padded with a
+validity mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray      # (3,3) H/F/E or (2,3) affine
+    inliers: jnp.ndarray    # (N,) bool
+    n_inliers: jnp.ndarray  # scalar int32
+    ok: jnp.ndarray         # scalar bool — enough points / valid model
+
+
+def _sample_indices(key, valid, n_hyp, k):
+    """Sample k point indices per hypothesis, uniform over valid entries.
+
+    Sampling with replacement within a hypothesis is possible but harmless
+    (degenerate minimal sets score ~0 inliers and lose the argmax).
+    """
+    n = valid.shape[0]
+    order = jnp.argsort(~valid)              # valid indices first
+    n_valid = jnp.sum(valid)
+    u = jax.random.uniform(key, (n_hyp, k))
+    idx = (u * n_valid).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.maximum(n_valid - 1, 0))
+    return order[idx]                        # (n_hyp, k)
+
+
+def _normalize_2d(pts, valid):
+    """Hartley normalization over the valid points: T s.t. T·pts has zero mean
+    and RMS distance √2. Returns (pts_norm, T 3×3)."""
+    w = valid.astype(pts.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pts * w[:, None], axis=0) / wsum
+    centered = (pts - mean) * w[:, None]
+    rms = jnp.sqrt(jnp.sum(centered**2) / wsum + 1e-12)
+    s = jnp.sqrt(2.0) / jnp.maximum(rms, 1e-8)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=pts.dtype)
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * mean[0]).at[1, 2].set(-s * mean[1])
+    return (pts - mean) * s, T
+
+
+def _smallest_eigvec(A):
+    """Null vector of Aᵀ A (A: (m, n)) via symmetric eigendecomposition."""
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Homography
+# ---------------------------------------------------------------------------
+
+def _homography_dlt(pa, pb, w=None):
+    """Weighted DLT: H with pb ~ H·pa. pa/pb: (k, 2); w: (k,) weights."""
+    k = pa.shape[0]
+    if w is None:
+        w = jnp.ones((k,), dtype=pa.dtype)
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y, -u], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y, -v], axis=-1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # (2k, 9)
+    h = _smallest_eigvec(A)
+    return h.reshape(3, 3)
+
+
+def _homography_error(H, pa, pb):
+    """Forward transfer error ‖H·pa − pb‖ (cv2.findHomography's metric)."""
+    ph = jnp.concatenate([pa, jnp.ones_like(pa[..., :1])], axis=-1)
+    q = ph @ H.T
+    z = q[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    proj = q[..., :2] / z[..., None]
+    return jnp.linalg.norm(proj - pb, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
+                      refine_iters=2):
+    """RANSAC homography pts_a→pts_b. pts: (N,2) padded; valid: (N,) bool."""
+    pa_n, Ta = _normalize_2d(pts_a, valid)
+    pb_n, Tb = _normalize_2d(pts_b, valid)
+    idx = _sample_indices(key, valid, n_hyp, 4)
+
+    Hs = jax.vmap(lambda i: _homography_dlt(pa_n[i], pb_n[i]))(idx)  # (H,3,3)
+    errs = jax.vmap(lambda H: _homography_error(H, pa_n, pb_n))(Hs)  # (H,N)
+    # threshold in normalized units: scale by Tb's isotropic scale
+    t_norm = thresh * Tb[0, 0]
+    scores = jnp.sum((errs < t_norm) & valid[None, :], axis=1)
+    best = jnp.argmax(scores)
+    H_best = Hs[best]
+
+    def refine(H, _):
+        e = _homography_error(H, pa_n, pb_n)
+        w = ((e < t_norm) & valid).astype(pts_a.dtype)
+        H_new = _homography_dlt(pa_n, pb_n, w)
+        return H_new, None
+
+    H_ref, _ = jax.lax.scan(refine, H_best, None, length=refine_iters)
+    err = _homography_error(H_ref, pa_n, pb_n)
+    inl = (err < t_norm) & valid
+    # denormalize: pb = Tb⁻¹ Ĥ Ta pa
+    H_full = jnp.linalg.inv(Tb) @ H_ref @ Ta
+    H_full = H_full / jnp.where(jnp.abs(H_full[2, 2]) < 1e-12, 1.0, H_full[2, 2])
+    n_inl = jnp.sum(inl)
+    ok = (jnp.sum(valid) >= 4) & (n_inl >= 4)
+    return RansacResult(H_full, inl, n_inl.astype(jnp.int32), ok)
+
+
+# ---------------------------------------------------------------------------
+# Fundamental / Essential
+# ---------------------------------------------------------------------------
+
+def _fundamental_8pt(pa, pb, w=None):
+    """(Weighted) 8-point algorithm on pre-normalized coords; rank-2 enforced."""
+    if w is None:
+        w = jnp.ones(pa.shape[:1], dtype=pa.dtype)
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    one = jnp.ones_like(x)
+    A = jnp.stack([u * x, u * y, u, v * x, v * y, v, x, y, one], axis=-1)
+    f = _smallest_eigvec(A * w[:, None])
+    F = f.reshape(3, 3)
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return (U * S[None, :]) @ Vt
+
+
+def _epipolar_dist(F, pa, pb):
+    """Symmetric epipolar distance (max of the two point-line distances)."""
+    pha = jnp.concatenate([pa, jnp.ones_like(pa[..., :1])], axis=-1)
+    phb = jnp.concatenate([pb, jnp.ones_like(pb[..., :1])], axis=-1)
+    lb = pha @ F.T          # epipolar line in image b
+    la = phb @ F            # epipolar line in image a
+    num = jnp.abs(jnp.sum(phb * lb, axis=-1))
+    db = num / jnp.maximum(jnp.linalg.norm(lb[..., :2], axis=-1), 1e-8)
+    da = num / jnp.maximum(jnp.linalg.norm(la[..., :2], axis=-1), 1e-8)
+    return jnp.maximum(da, db)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
+                       refine_iters=2):
+    """RANSAC fundamental matrix (8-point hypotheses, symmetric epipolar
+    distance scoring) — cv2.findFundamentalMat(FM_RANSAC) equivalent
+    (reference matcher.py:124)."""
+    pa_n, Ta = _normalize_2d(pts_a, valid)
+    pb_n, Tb = _normalize_2d(pts_b, valid)
+    idx = _sample_indices(key, valid, n_hyp, 8)
+    Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
+    errs = jax.vmap(lambda F: _epipolar_dist(F, pa_n, pb_n))(Fs)
+    t_norm = thresh * Tb[0, 0]
+    scores = jnp.sum((errs < t_norm) & valid[None, :], axis=1)
+    best = jnp.argmax(scores)
+    F_best = Fs[best]
+
+    def refine(F, _):
+        e = _epipolar_dist(F, pa_n, pb_n)
+        w = ((e < t_norm) & valid).astype(pts_a.dtype)
+        return _fundamental_8pt(pa_n, pb_n, w), None
+
+    F_ref, _ = jax.lax.scan(refine, F_best, None, length=refine_iters)
+    err = _epipolar_dist(F_ref, pa_n, pb_n)
+    inl = (err < t_norm) & valid
+    F_full = Tb.T @ F_ref @ Ta
+    nrm = jnp.linalg.norm(F_full)
+    F_full = F_full / jnp.where(nrm < 1e-12, 1.0, nrm)
+    n_inl = jnp.sum(inl)
+    ok = (jnp.sum(valid) >= 8) & (n_inl >= 8)
+    return RansacResult(F_full, inl, n_inl.astype(jnp.int32), ok)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
+                     refine_iters=2):
+    """RANSAC essential matrix — cv2.findEssentialMat equivalent (reference
+    matcher.py:126).
+
+    Uses normalized-8-point hypotheses (12 samples each for conditioning) with
+    (1,1,0) singular-value projection rather than Nistér 5-point: with
+    hundreds of batched hypotheses the minimal-solver difference washes out,
+    and the 8-point solve is one batched eigendecomposition. Caveat: like all
+    8-point variants this degrades on *planar* scenes (where E is ambiguous);
+    for flat aerial terrain use the homography filter, which is the
+    reference's default for exactly this reason (matcher.py:90-142).
+    ``thresh`` is in pixels (divided by focal internally).
+    """
+    f = 0.5 * (K[0, 0] + K[1, 1])
+    c = jnp.stack([K[0, 2], K[1, 2]])
+    pa_n = (pts_a - c) / f
+    pb_n = (pts_b - c) / f
+    idx = _sample_indices(key, valid, n_hyp, 12)
+
+    def solve(i):
+        E = _fundamental_8pt(pa_n[i], pb_n[i])
+        U, S, Vt = jnp.linalg.svd(E)
+        S = jnp.array([1.0, 1.0, 0.0], dtype=E.dtype)
+        return (U * S[None, :]) @ Vt
+
+    Es = jax.vmap(solve)(idx)
+    errs = jax.vmap(lambda E: _epipolar_dist(E, pa_n, pb_n))(Es)
+    t_norm = thresh / f
+    scores = jnp.sum((errs < t_norm) & valid[None, :], axis=1)
+    best = jnp.argmax(scores)
+    E_best = Es[best]
+
+    def refine(E, _):
+        e = _epipolar_dist(E, pa_n, pb_n)
+        w = ((e < t_norm) & valid).astype(pts_a.dtype)
+        E2 = _fundamental_8pt(pa_n, pb_n, w)
+        U, _, Vt = jnp.linalg.svd(E2)
+        return (U * jnp.array([1.0, 1.0, 0.0])[None, :]) @ Vt, None
+
+    E_ref, _ = jax.lax.scan(refine, E_best, None, length=refine_iters)
+    err = _epipolar_dist(E_ref, pa_n, pb_n)
+    inl = (err < t_norm) & valid
+    n_inl = jnp.sum(inl)
+    ok = (jnp.sum(valid) >= 8) & (n_inl >= 8)
+    return RansacResult(E_ref, inl, n_inl.astype(jnp.int32), ok)
+
+
+# ---------------------------------------------------------------------------
+# 2-D similarity (estimateAffinePartial2D equivalent)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters"))
+def ransac_similarity_2d(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=256,
+                         refine_iters=2):
+    """RANSAC 2-D similarity — cv2.estimateAffinePartial2D equivalent
+    (reference smart.py:87 find_affine)."""
+    from ..core.transforms import fit_similarity_2d
+
+    idx = _sample_indices(key, valid, n_hyp, 2)
+
+    def solve(i):
+        return fit_similarity_2d(pts_a[i], pts_b[i])
+
+    As = jax.vmap(solve)(idx)  # (H, 2, 3)
+
+    def err_fn(A):
+        pred = pts_a @ A[:, :2].T + A[:, 2]
+        return jnp.linalg.norm(pred - pts_b, axis=-1)
+
+    errs = jax.vmap(err_fn)(As)
+    scores = jnp.sum((errs < thresh) & valid[None, :], axis=1)
+    best = jnp.argmax(scores)
+    A_best = As[best]
+
+    def refine(A, _):
+        e = err_fn(A)
+        w = ((e < thresh) & valid).astype(pts_a.dtype)
+        return fit_similarity_2d(pts_a, pts_b, w), None
+
+    A_ref, _ = jax.lax.scan(refine, A_best, None, length=refine_iters)
+    err = err_fn(A_ref)
+    inl = (err < thresh) & valid
+    n_inl = jnp.sum(inl)
+    ok = (jnp.sum(valid) >= 2) & (n_inl >= 2)
+    return RansacResult(A_ref, inl, n_inl.astype(jnp.int32), ok)
