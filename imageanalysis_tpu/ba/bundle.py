@@ -1,0 +1,301 @@
+"""Sparse bundle adjustment: matrix-free Schur-complement Levenberg–Marquardt.
+
+Replaces the reference's scipy ``least_squares(method='trf',
+jac_sparsity=...)`` bundle adjuster (reference optimizer.py:283-541) with a
+TPU-native design:
+
+- residuals: reprojection error of every observation, computed batched via
+  the differentiable camera model (core/camera.py project_ned_quat) —
+  equivalent to the cv2.projectPoints loop at reference optimizer.py:174-279;
+- per-observation jacobian blocks Jc (2×7 wrt camera ned+quat) and Jp (2×3
+  wrt point) via vmapped forward-mode autodiff — the reference's
+  finite-difference TRF jacobian becomes exact;
+- normal equations are **never materialized**: the camera-reduced
+  (Schur-complement) system S·Δc = b is solved with preconditioned CG where
+  each matvec is two segment_sums over observations plus batched 3×3
+  point-block solves; the per-camera 7×7 blocks of H_cc serve as a
+  block-Jacobi preconditioner;
+- Levenberg–Marquardt damping λ·diag(H) plays the role of scipy's trust
+  region + x_scale='jac' column scaling (reference optimizer.py:491-501);
+- camera positions are box-clamped to ±3 m horizontal / ±9 m vertical of the
+  initial GPS solution after every accepted step — the projection equivalent
+  of the reference's TRF bounds (optimizer.py:425-478);
+- every array op is a gather/segment_sum/einsum over statically shaped
+  observation arrays ⇒ shards cleanly over a device mesh by splitting the
+  observation axis (see parallel/).
+
+Camera parameterization matches the reference default ``ned_quat`` (7 params:
+NED position + NED→body quaternion, optimizer.py:65-79). The quaternion is
+normalized inside the residual, so its gauge direction is handled by the
+damping; quats are renormalized after each accepted step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import project_ned_quat
+from ..core.transforms import umeyama
+
+
+class BAObservations(NamedTuple):
+    """Static-shape observation arrays (pad with weight 0).
+
+    cam_idx/pt_idx: (n_obs,) int32; uv: (n_obs, 2) observed distorted pixel
+    coords; weight: (n_obs,) float — 0 for padding, 1 (or robust weight)
+    otherwise.
+    """
+
+    cam_idx: jnp.ndarray
+    pt_idx: jnp.ndarray
+    uv: jnp.ndarray
+    weight: jnp.ndarray
+
+
+class BAConfig(NamedTuple):
+    max_iters: int = 50
+    ftol: float = 1e-4          # relative cost decrease stop (reference ftol, optimizer.py:77-79)
+    lam0: float = 1e-3
+    lam_up: float = 4.0
+    lam_down: float = 3.0
+    cg_iters: int = 40
+    cg_tol: float = 1e-3
+    max_retries: int = 6
+    bound_horiz: float = 3.0    # reference optimizer.py:434-442
+    bound_vert: float = 9.0
+
+
+def _residuals(cams, pts, obs, K, dist):
+    """(n_obs, 2) weighted residuals (pred − observed)."""
+    c = cams[obs.cam_idx]
+    p = pts[obs.pt_idx]
+    pred, _ = project_ned_quat(p, c[:, :3], c[:, 3:7], K, dist)
+    return (pred - obs.uv) * obs.weight[:, None]
+
+
+def _per_obs_jacobians(cams, pts, obs, K, dist):
+    """Jc: (n_obs, 2, 7), Jp: (n_obs, 2, 3), r: (n_obs, 2) — all weighted."""
+    def resid_one(cam, pt, uv, w):
+        pred, _ = project_ned_quat(pt, cam[:3], cam[3:7], K, dist)
+        return (pred - uv) * w
+
+    def jac_one(cam, pt, uv, w):
+        return jax.jacfwd(resid_one, argnums=(0, 1))(cam, pt, uv, w)
+
+    c = cams[obs.cam_idx]
+    p = pts[obs.pt_idx]
+    Jc, Jp = jax.vmap(jac_one)(c, p, obs.uv, obs.weight)
+    r = jax.vmap(resid_one)(c, p, obs.uv, obs.weight)
+    return Jc, Jp, r
+
+
+def _inv3x3(M):
+    """Batched closed-form 3×3 inverse (adjugate / det)."""
+    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
+    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
+    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def _seg(x, idx, num):
+    return jax.ops.segment_sum(x, idx, num_segments=num)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cam", "n_pt", "cg_iters"))
+def lm_step(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40, cg_tol=1e-3):
+    """One damped Gauss–Newton step via Schur complement + PCG.
+
+    Returns (Δcams (n_cam,7), Δpts (n_pt,3), predicted_decrease).
+    """
+    Jc, Jp, r = _per_obs_jacobians(cams, pts, obs, K, dist)
+
+    # gradients and diagonal blocks
+    g_c = _seg(jnp.einsum("oij,oi->oj", Jc, r), obs.cam_idx, n_cam)      # (n_cam, 7)
+    g_p = _seg(jnp.einsum("oij,oi->oj", Jp, r), obs.pt_idx, n_pt)        # (n_pt, 3)
+    Hcc = _seg(jnp.einsum("oik,oil->okl", Jc, Jc), obs.cam_idx, n_cam)   # (n_cam, 7, 7)
+    Hpp = _seg(jnp.einsum("oik,oil->okl", Jp, Jp), obs.pt_idx, n_pt)     # (n_pt, 3, 3)
+
+    eye7 = jnp.eye(7, dtype=cams.dtype)
+    eye3 = jnp.eye(3, dtype=cams.dtype)
+    # Marquardt damping: λ·diag(H) with an absolute floor for unconstrained dirs
+    dc = jnp.einsum("cii->ci", Hcc)
+    dp = jnp.einsum("pii->pi", Hpp)
+    Hcc_d = Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7) + 1e-8 * eye7
+    Hpp_d = Hpp + lam * jnp.einsum("pi,ij->pij", dp, eye3) + 1e-8 * eye3
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
+
+    def schur_matvec(v):
+        u = jnp.einsum("oij,oj->oi", Jc, v[cam_idx])                # Jc v
+        w = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)     # Jpᵀ Jc v
+        y = jnp.einsum("pij,pj->pi", Hpp_inv, w)                    # Hpp⁻¹ ·
+        z = jnp.einsum("oij,oj->oi", Jp, y[pt_idx])                 # Jp ·
+        corr = _seg(jnp.einsum("oij,oi->oj", Jc, z), cam_idx, n_cam)
+        direct = jnp.einsum("cij,cj->ci", Hcc_d, v)
+        return direct - corr
+
+    # rhs: b = −(g_c − H_cp Hpp⁻¹ g_p)
+    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+    z0 = jnp.einsum("oij,oj->oi", Jp, y0[pt_idx])
+    b = -(g_c - _seg(jnp.einsum("oij,oi->oj", Jc, z0), cam_idx, n_cam))
+
+    # block-Jacobi preconditioner from the damped camera blocks
+    Pc = jnp.linalg.inv(Hcc_d + 1e-6 * eye7)
+
+    def precond(x):
+        return jnp.einsum("cij,cj->ci", Pc, x)
+
+    def dot(a_, b_):
+        return jnp.sum(a_ * b_)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0c = precond(r0)
+    p0 = z0c
+    rz0 = dot(r0, z0c)
+    b_norm = jnp.sqrt(dot(b, b)) + 1e-30
+
+    def cg_body(state):
+        x, rr, p, rz, it = state
+        Ap = schur_matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        rr = rr - alpha * Ap
+        zz = precond(rr)
+        rz_new = dot(rr, zz)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = zz + beta * p
+        return x, rr, p, rz_new, it + 1
+
+    def cg_cond(state):
+        _, rr, _, _, it = state
+        return (jnp.sqrt(dot(rr, rr)) / b_norm > cg_tol) & (it < cg_iters)
+
+    dc_cam, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x0, r0, p0, rz0, 0))
+
+    # back-substitute points: Δp = Hpp⁻¹ (−g_p − H_pc Δc)
+    u = jnp.einsum("oij,oj->oi", Jc, dc_cam[cam_idx])
+    hpc_dc = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
+    dp_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - hpc_dc)
+
+    # predicted decrease for LM gain ratio: −(gᵀΔ + ½ΔᵀHΔ) ≈ ½ Δᵀ(λDΔ − g)
+    pred_dec = 0.5 * (dot(dc_cam, -g_c) + dot(dp_pts, -g_p))
+    return dc_cam, dp_pts, pred_dec
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ba_cost(cams, pts, obs, K, dist):
+    r = _residuals(cams, pts, obs, K, dist)
+    cost = 0.5 * jnp.sum(r * r)
+    wsum = jnp.maximum(jnp.sum(obs.weight), 1.0)
+    mre = jnp.sum(jnp.abs(r)) / (2.0 * wsum)
+    mx = jnp.max(jnp.abs(r))
+    return cost, mre, mx
+
+
+class BAResult(NamedTuple):
+    cams: np.ndarray
+    pts: np.ndarray
+    mre: float
+    iters: int
+    cost_history: list
+
+
+def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True,
+          log_fn=print):
+    """LM outer loop (host-driven; every inner computation is one jitted call).
+
+    cams0: (n_cam, 7) [ned(3), quat(4)]; pts0: (n_pt, 3); obs: BAObservations.
+    Returns BAResult. Logs mre/std/max per improving iteration like the
+    reference (optimizer.py:249-252).
+    """
+    cams = jnp.asarray(cams0, dtype=jnp.float32)
+    pts = jnp.asarray(pts0, dtype=jnp.float32)
+    n_cam, n_pt = cams.shape[0], pts.shape[0]
+    ned0 = cams[:, :3]
+    lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
+    hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
+
+    lam = config.lam0
+    cost, mre, mx = ba_cost(cams, pts, obs, K, dist)
+    cost = float(cost)
+    history = [cost]
+    if verbose:
+        log_fn(f"BA start: cost={cost:.4g} mre={float(mre):.3f}px max={float(mx):.2f}px")
+
+    it = 0
+    for it in range(config.max_iters):
+        accepted = False
+        for _ in range(config.max_retries):
+            dc, dp, _ = lm_step(cams, pts, obs, K, dist, jnp.float32(lam),
+                                n_cam, n_pt, cg_iters=config.cg_iters,
+                                cg_tol=config.cg_tol)
+            cams_new = cams + dc
+            # project onto bounds + renormalize quats
+            ned = jnp.clip(cams_new[:, :3], lo, hi)
+            q = cams_new[:, 3:7]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            cams_new = jnp.concatenate([ned, q], axis=1)
+            pts_new = pts + dp
+            new_cost, new_mre, new_mx = ba_cost(cams_new, pts_new, obs, K, dist)
+            new_cost = float(new_cost)
+            if np.isfinite(new_cost) and new_cost < cost:
+                cams, pts = cams_new, pts_new
+                rel = 1.0 - new_cost / cost
+                cost = new_cost
+                lam = max(lam / config.lam_down, 1e-9)
+                accepted = True
+                if verbose:
+                    log_fn(f"  iter {it}: mre={float(new_mre):.3f}px "
+                           f"max={float(new_mx):.2f}px cost={cost:.4g} lam={lam:.1e}")
+                history.append(cost)
+                if rel < config.ftol:
+                    it += 1
+                    accepted = "converged"
+                break
+            lam = min(lam * config.lam_up, 1e6)
+        if accepted == "converged" or not accepted:
+            break
+
+    _, mre, _ = ba_cost(cams, pts, obs, K, dist)
+    return BAResult(np.asarray(cams), np.asarray(pts), float(mre), it + 1, history)
+
+
+def refit(cams, pts, gps_ned, use_cams=None):
+    """Similarity re-registration of the optimized solution onto GPS positions.
+
+    The reference's ``Optimizer.refit`` (optimizer.py:583-683): fit
+    scale/R/t mapping optimized camera positions → original GPS NED, then
+    apply to cameras (position + attitude) and points. use_cams: bool mask of
+    cameras to include in the fit.
+    """
+    from ..core.rotations import matrix_to_quat, quat_multiply, quat_to_matrix
+
+    cams = jnp.asarray(cams)
+    pts = jnp.asarray(pts)
+    gps = jnp.asarray(gps_ned, dtype=cams.dtype)
+    w = None if use_cams is None else jnp.asarray(use_cams, dtype=cams.dtype)
+    s, R, t = umeyama(cams[:, :3], gps, weights=w)
+    new_ned = s * cams[:, :3] @ R.T + t
+    new_pts = s * pts @ R.T + t
+    # rotate attitudes: body2ned' = R · body2ned
+    q_rot = matrix_to_quat(R)
+    new_q = quat_multiply(q_rot[None, :], cams[:, 3:7])
+    new_cams = jnp.concatenate([new_ned, new_q], axis=1)
+    return np.asarray(new_cams), np.asarray(new_pts), (float(s), np.asarray(R), np.asarray(t))

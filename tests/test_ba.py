@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imageanalysis_tpu.ba import bundle
+from imageanalysis_tpu.core import camera as cam
+from imageanalysis_tpu.core import rotations as rot
+
+K = np.array([[1800.0, 0, 960.0], [0, 1800.0, 720.0], [0, 0, 1.0]], np.float32)
+DIST = np.zeros(5, np.float32)
+
+
+def synth_problem(rng, n_cam=16, n_pt=400, obs_per_pt=4, px_noise=0.3,
+                  cam_pos_noise=1.5, cam_att_noise=0.01, pt_noise=3.0):
+    """Aerial grid mission: nadir cameras over a bumpy ground plane."""
+    side = int(np.ceil(np.sqrt(n_cam)))
+    cams_true = []
+    for i in range(n_cam):
+        gx, gy = divmod(i, side)
+        ned = np.array([gx * 40.0, gy * 40.0, -120.0 + rng.normal(0, 2)])
+        q = rot.quat_from_ypr(rng.normal(0, 0.2), np.radians(-88) + rng.normal(0, 0.03),
+                              rng.normal(0, 0.03))
+        cams_true.append(np.r_[ned, np.asarray(q)])
+    cams_true = np.array(cams_true, np.float32)
+
+    span = side * 40.0
+    pts_true = np.c_[rng.uniform(-30, span + 30, (n_pt, 2)),
+                     rng.uniform(-8, 8, (n_pt, 1))].astype(np.float32)
+
+    # observations: each point seen by its nearest cameras (if in frame)
+    ci, pi, uv = [], [], []
+    for p in range(n_pt):
+        d = np.linalg.norm(cams_true[:, :2] - pts_true[p, :2], axis=1)
+        for c in np.argsort(d)[:obs_per_pt]:
+            R, t = cam.ned_quat_to_rt(jnp.asarray(cams_true[c, :3]),
+                                      jnp.asarray(cams_true[c, 3:7]))
+            u, z = cam.project_points(jnp.asarray(pts_true[p]), R, t,
+                                      jnp.asarray(K), jnp.asarray(DIST))
+            u = np.asarray(u)
+            if float(z) > 0 and 0 <= u[0] < 1920 and 0 <= u[1] < 1440:
+                ci.append(c)
+                pi.append(p)
+                uv.append(u + rng.normal(0, px_noise, 2))
+    obs = bundle.BAObservations(
+        cam_idx=jnp.asarray(np.array(ci, np.int32)),
+        pt_idx=jnp.asarray(np.array(pi, np.int32)),
+        uv=jnp.asarray(np.array(uv, np.float32)),
+        weight=jnp.ones(len(ci), jnp.float32),
+    )
+
+    cams0 = cams_true.copy()
+    cams0[:, :3] += rng.normal(0, cam_pos_noise, (n_cam, 3))
+    for c in range(n_cam):
+        dq = np.asarray(rot.quat_from_ypr(*rng.normal(0, cam_att_noise, 3)))
+        cams0[c, 3:7] = np.asarray(rot.quat_multiply(cams0[c, 3:7], dq))
+    pts0 = pts_true + rng.normal(0, pt_noise, pts_true.shape).astype(np.float32)
+    return cams_true, pts_true, cams0, pts0, obs
+
+
+def test_ba_converges(rng):
+    cams_true, pts_true, cams0, pts0, obs = synth_problem(rng)
+    cost0, mre0, _ = bundle.ba_cost(jnp.asarray(cams0), jnp.asarray(pts0), obs,
+                                    jnp.asarray(K), jnp.asarray(DIST))
+    res = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
+                       bundle.BAConfig(max_iters=30, ftol=1e-5), verbose=False)
+    assert res.mre < 0.5          # down to the injected pixel noise
+    assert res.mre < float(mre0) / 5
+    # structure recovered: points near truth after convergence
+    err = np.linalg.norm(res.pts - pts_true, axis=1)
+    assert np.median(err) < 1.0
+
+
+def test_ba_respects_bounds(rng):
+    cams_true, pts_true, cams0, pts0, obs = synth_problem(rng, n_cam=9, n_pt=150)
+    res = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
+                       bundle.BAConfig(max_iters=10), verbose=False)
+    d = res.cams[:, :3] - cams0[:, :3]
+    assert np.all(np.abs(d[:, :2]) <= 3.0 + 1e-4)
+    assert np.all(np.abs(d[:, 2]) <= 9.0 + 1e-4)
+
+
+def test_ba_weighted_padding(rng):
+    """Zero-weight (padded) observations must not affect the solution."""
+    cams_true, pts_true, cams0, pts0, obs = synth_problem(rng, n_cam=9, n_pt=120)
+    n = obs.uv.shape[0]
+    pad = 64
+    obs_pad = bundle.BAObservations(
+        cam_idx=jnp.concatenate([obs.cam_idx, jnp.zeros(pad, jnp.int32)]),
+        pt_idx=jnp.concatenate([obs.pt_idx, jnp.zeros(pad, jnp.int32)]),
+        uv=jnp.concatenate([obs.uv, jnp.full((pad, 2), 1e5, jnp.float32)]),
+        weight=jnp.concatenate([obs.weight, jnp.zeros(pad, jnp.float32)]),
+    )
+    r1 = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
+                      bundle.BAConfig(max_iters=5), verbose=False)
+    r2 = bundle.solve(cams0, pts0, obs_pad, jnp.asarray(K), jnp.asarray(DIST),
+                      bundle.BAConfig(max_iters=5), verbose=False)
+    # padded obs contribute exact zeros, but f32 reduction reassociation
+    # perturbs CG at ~1e-7; after 5 LM iters that's ~mm on positions
+    np.testing.assert_allclose(r1.cams, r2.cams, atol=2e-2)
+    np.testing.assert_allclose(r1.mre, r2.mre, rtol=1e-2)
+
+
+def test_refit_registration(rng):
+    """refit() must undo a global similarity drift of the solution."""
+    cams_true, pts_true, cams0, pts0, obs = synth_problem(rng, n_cam=9, n_pt=120)
+    n_cam = cams_true.shape[0]
+    # apply a known global similarity to the "optimized" solution
+    Rg = np.asarray(rot.quat_to_matrix(rot.quat_from_ypr(0.05, 0.01, -0.02)))
+    s, t = 1.02, np.array([5.0, -3.0, 2.0], np.float32)
+    cams_drift = cams_true.copy()
+    cams_drift[:, :3] = s * cams_true[:, :3] @ Rg.T + t
+    qg = np.asarray(rot.matrix_to_quat(jnp.asarray(Rg)))
+    for c in range(n_cam):
+        cams_drift[c, 3:7] = np.asarray(rot.quat_multiply(qg, cams_true[c, 3:7]))
+    pts_drift = (s * pts_true @ Rg.T + t).astype(np.float32)
+
+    new_cams, new_pts, (s_fit, _, _) = bundle.refit(cams_drift, pts_drift,
+                                                    cams_true[:, :3])
+    np.testing.assert_allclose(new_cams[:, :3], cams_true[:, :3], atol=1e-2)
+    np.testing.assert_allclose(new_pts, pts_true, atol=5e-2)
+    np.testing.assert_allclose(s_fit, 1.0 / s, rtol=1e-3)
+    dots = np.abs(np.sum(new_cams[:, 3:7] * cams_true[:, 3:7], axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
