@@ -1,0 +1,225 @@
+"""End-to-end pipeline driver — the reference's ``process.py`` (L8).
+
+Same stage flow and state gating (reference process.py:108-420):
+
+  Step 1   project creation + camera config            (state STEP1)
+  Step 2   poses + NED reference + terrain priors      (state STEP2)
+  Step 3a  feature detection + pair matching           (state STEP3a)
+  Step 3b  match cleanup + chain linking               (state STEP3b)
+  Step 3c  initial triangulation                       (state STEP3c)
+  Step 3d  image grouping                              (state STEP3d)
+  Step 4   bundle adjustment + refit                   (state STEP4)
+  Step 5   surface/render outputs                      (state STEP5)
+
+Usage: ``python -m imageanalysis_tpu.apps.process <image_dir> [options]``.
+Any stage can be redone with ``--refresh STEPn``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native aerial survey pipeline")
+    p.add_argument("project", help="directory with geotagged images")
+    p.add_argument("--camera", help="camera config key (cameras/<key>.json)")
+    p.add_argument("--camera-db", action="append", default=[],
+                   help="extra camera DB directory")
+    p.add_argument("--yaw-deg", type=float, default=0.0, help="camera mount yaw")
+    p.add_argument("--pitch-deg", type=float, default=-90.0, help="camera mount pitch")
+    p.add_argument("--roll-deg", type=float, default=0.0, help="camera mount roll")
+    p.add_argument("--max-angle", type=float, default=25.0,
+                   help="max pose roll/pitch angle")
+    p.add_argument("--force-altitude", type=float)
+    p.add_argument("--force-heading", type=float)
+    p.add_argument("--yaw-from-groundtrack", action="store_true")
+    p.add_argument("--detector", default="SIFT", choices=["SIFT", "ORB", "TPU"])
+    p.add_argument("--scale", type=float, default=0.4, help="detection image scale")
+    p.add_argument("--max-features", type=int, default=0)
+    p.add_argument("--match-strategy", default="traditional",
+                   choices=["traditional", "smart", "bestratio", "bruteforce"])
+    p.add_argument("--match-ratio", type=float, default=0.75)
+    p.add_argument("--filter", default="homography",
+                   choices=["homography", "fundamental", "essential", "none"])
+    p.add_argument("--min-chain-len", type=int, default=3)
+    p.add_argument("--ground", type=float,
+                   help="flat ground elevation (m MSL) instead of SRTM")
+    p.add_argument("--group", type=int, default=0, help="group index to optimize")
+    p.add_argument("--refine", action="store_true",
+                   help="start BA from previously optimized poses")
+    p.add_argument("--cam-calibration", action="store_true",
+                   help="include global camera calibration in BA")
+    p.add_argument("--refresh", action="append", default=[],
+                   help="redo a stage (STEP1..STEP5)")
+    p.add_argument("--batch-size", type=int, default=16)
+    return p
+
+
+def run(args) -> int:
+    from ..io import camera_db, pose as pose_mod
+    from ..io.logger import log
+    from ..io.project import ProjectMgr
+
+    proj = ProjectMgr(args.project, create=True)
+    for step in args.refresh:
+        proj.state.clear(step)
+
+    # ---- Step 1: camera config (reference process.py:108-166) -----------
+    if not proj.state.check("STEP1"):
+        log("Step 1: setting up camera config")
+        cam_key = args.camera or proj.detect_camera()
+        cfg = camera_db.load(cam_key, db_dirs=args.camera_db) if cam_key else None
+        if cfg is None:
+            files = proj.image_files()
+            if not files:
+                log("no images found in", args.project)
+                return 1
+            log("camera not in DB, estimating from EXIF:", cam_key)
+            cfg = camera_db.estimate_from_exif(
+                os.path.join(args.project, files[0]))
+        cfg["mount"] = {"yaw_deg": args.yaw_deg, "pitch_deg": args.pitch_deg,
+                        "roll_deg": args.roll_deg}
+        proj.set_camera_config(cfg)
+        proj.save()
+        proj.state.update("STEP1")
+
+    # ---- Step 2: poses (reference process.py:170-229) -------------------
+    if not proj.state.check("STEP2"):
+        log("Step 2: setting aircraft/camera poses")
+        pix4d = os.path.join(args.project, "pix4d.csv")
+        meta_txt = os.path.join(args.project, "image-metadata.txt")
+        if os.path.exists(pix4d):
+            pose_mod.set_aircraft_poses(proj, pix4d, order="rpy",
+                                        max_angle=args.max_angle)
+        elif os.path.exists(meta_txt):
+            pose_mod.set_aircraft_poses(proj, meta_txt, order="ypr",
+                                        max_angle=args.max_angle)
+        else:
+            log("No pose file found, generating pix4d.csv from image EXIF")
+            pose_mod.make_pix4d(args.project,
+                                camera_make=proj.camera.get("make", ""),
+                                camera_model=proj.camera.get("model", ""),
+                                force_altitude=args.force_altitude,
+                                force_heading=args.force_heading,
+                                yaw_from_groundtrack=args.yaw_from_groundtrack)
+            pose_mod.set_aircraft_poses(proj, pix4d, order="rpy",
+                                        max_angle=args.max_angle)
+        proj.load_images_info()
+        proj.compute_ned_reference_lla()
+        pose_mod.compute_camera_poses(proj)
+        proj.save()
+        proj.state.update("STEP2")
+    else:
+        proj.load_images_info()
+
+    # ---- Step 3a: detection + matching (process.py:236-301) -------------
+    from ..features.detect import DetectorConfig, detect_project_features
+    from ..match import cleanup, groups as groups_mod
+    from ..match.matcher import MatchConfig, find_matches
+
+    if not proj.state.check("STEP3a"):
+        log("Step 3a: feature detection + pair matching")
+        det_cfg = DetectorConfig(
+            detector="SIFT" if args.detector == "TPU" else args.detector,
+            scale=args.scale, max_features=args.max_features,
+            backend="tpu" if args.detector == "TPU" else "cv")
+        proj.config.node("detector").update(det_cfg.to_dict())
+        detect_project_features(proj, det_cfg)
+        mcfg = MatchConfig(strategy=args.match_strategy, ratio=args.match_ratio,
+                           transform=args.filter, batch_size=args.batch_size)
+        proj.config.node("matcher").set("min_chain_len", args.min_chain_len)
+        find_matches(proj, mcfg)
+        proj.save()
+        proj.state.update("STEP3a")
+
+    # ---- Step 3b: cleanup + linking (process.py:305-319) ----------------
+    if not proj.state.check("STEP3b"):
+        log("Step 3b: linking matches into chains")
+        for im in proj.image_list:
+            if im.kp is None:
+                im.load_features()
+            if not im.match_list:
+                im.load_matches()
+        matches = cleanup.link_matches(proj)
+        proj.save_matches_grouped(matches)
+        proj.state.update("STEP3b")
+
+    # ---- Step 3c: initial triangulation (process.py:321-333) ------------
+    if not proj.state.check("STEP3c"):
+        log("Step 3c: initial triangulation")
+        matches = proj.load_matches_grouped()
+        ref = proj.ned_reference_lla()
+        if args.ground is not None:
+            base = lambda image: args.ground
+        else:
+            from ..surface import srtm
+            terrain = srtm.project_terrain(proj)
+            base = terrain.base_elevation
+        cleanup.triangulate_ground(proj, matches, get_base_elev=base)
+        proj.save_matches_grouped(matches)
+        proj.state.update("STEP3c")
+
+    # ---- Step 3d: grouping (process.py:335-363) -------------------------
+    if not proj.state.check("STEP3d"):
+        log("Step 3d: connectivity grouping")
+        matches = proj.load_matches_grouped()
+        grps = groups_mod.compute(proj.image_list, matches,
+                                  min_chain_len=args.min_chain_len)
+        groups_mod.save(proj.analysis_dir, grps)
+        proj.save_matches_grouped(matches)
+        log("Groups:", [len(g) for g in grps])
+        proj.state.update("STEP3d")
+
+    # ---- Step 4: bundle adjustment (process.py:366-407) -----------------
+    if not proj.state.check("STEP4"):
+        log("Step 4: sparse bundle adjustment")
+        from ..ba import bundle, setup as ba_setup
+
+        matches = proj.load_matches_grouped()
+        grps = groups_mod.load(proj.analysis_dir)
+        group_images = grps[args.group] if grps else None
+        cams0, pts0, obs, cam_names, match_map = ba_setup.setup_from_matches(
+            proj, matches, group_images=group_images,
+            min_chain_len=args.min_chain_len, optimized=args.refine)
+        if len(cam_names) < 2:
+            log("Not enough cameras in group to optimize")
+            return 1
+        model = proj.camera_model()
+        result = bundle.solve(cams0, pts0, obs, model.K, model.dist,
+                              bundle.BAConfig(), log_fn=log)
+        # re-register onto the GPS solution (reference optimizer.py:583-683)
+        new_cams, new_pts, _ = bundle.refit(result.cams, result.pts,
+                                            cams0[:, :3])
+        result = result._replace(cams=new_cams, pts=new_pts)
+        ba_setup.write_back(proj, matches, result, cam_names, match_map)
+        proj.save_matches_grouped(matches)
+        log(f"BA finished: mre={result.mre:.3f}px over {len(cam_names)} cameras")
+        proj.state.update("STEP4")
+
+    # ---- Step 5: render (process.py:411-420) ----------------------------
+    if not proj.state.check("STEP5"):
+        log("Step 5: building surface/render outputs")
+        try:
+            from ..render import build_map
+            grps = groups_mod.load(proj.analysis_dir)
+            matches = proj.load_matches_grouped()
+            build_map.build(proj, matches, grps, group_index=args.group)
+            proj.state.update("STEP5")
+        except ImportError:
+            log("render module not available yet; skipping Step 5")
+    log("Pipeline complete.")
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

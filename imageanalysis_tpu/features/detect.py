@@ -1,0 +1,130 @@
+"""Feature detection front-end.
+
+The reference delegates detection to OpenCV SIFT/SURF/ORB/Star
+(reference image.py:230-350 ``make_detector``/``detect_features``): load RGB,
+CLAHE-equalize, scale down (default 0.4 — "less is more" for outdoor imagery),
+detectAndCompute, rescale keypoints to full resolution, cache to
+cache/<name>.feat|.desc.
+
+Here detection is a pluggable interface with two backends:
+
+- ``cv`` — OpenCV SIFT/ORB on the host (byte-compatible caches, parity
+  baseline; OpenCV is a dependency of the reference so using it host-side for
+  IO-adjacent work keeps compatibility while the device does the matching);
+- ``tpu`` — the batched DoG/SIFT-style Pallas/jnp detector in
+  features/sift_tpu.py, detecting many images per device call.
+
+Both return (kp (n,2) float32 full-res uv, kp_meta (n,4) [size, angle,
+response, octave], desc (n,128) float32).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DetectorConfig:
+    def __init__(self, detector="SIFT", scale=0.4, max_features=0,
+                 equalize=True, backend="cv"):
+        self.detector = detector
+        self.scale = scale
+        self.max_features = int(max_features)
+        self.equalize = equalize
+        self.backend = backend
+
+    def to_dict(self):
+        return dict(detector=self.detector, scale=self.scale,
+                    max_features=self.max_features, equalize=self.equalize,
+                    backend=self.backend)
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(**{k: d[k] for k in
+                      ("detector", "scale", "max_features", "equalize", "backend")
+                      if k in d})
+
+
+def load_gray(path: str, equalize=True) -> np.ndarray:
+    """Load + grayscale + optional CLAHE (reference image.py:99-135)."""
+    import cv2
+
+    img = cv2.imread(path, flags=cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH
+                     | cv2.IMREAD_IGNORE_ORIENTATION)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    if equalize:
+        clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+        img = clahe.apply(img)
+    return img
+
+
+def detect(gray: np.ndarray, config: DetectorConfig):
+    """Detect on a scaled copy, rescale kp coords to full resolution
+    (reference image.py:287-350)."""
+    import cv2
+
+    scale = config.scale
+    scaled = cv2.resize(gray, (0, 0), fx=scale, fy=scale) if scale != 1.0 else gray
+
+    if config.backend == "tpu":
+        from . import sift_tpu
+        kp, kp_meta, des = sift_tpu.detect_and_compute(
+            scaled, max_features=config.max_features or 4096)
+    elif config.detector == "SIFT":
+        det = (cv2.SIFT_create(nfeatures=config.max_features)
+               if config.max_features else cv2.SIFT_create())
+        kps, des = det.detectAndCompute(scaled, None)
+        kp = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
+        kp_meta = np.array([(k.size, k.angle, k.response, k.octave)
+                            for k in kps], np.float32).reshape(-1, 4)
+    elif config.detector == "ORB":
+        det = cv2.ORB_create(config.max_features or 10000)
+        kps, des = det.detectAndCompute(scaled, None)
+        kp = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
+        kp_meta = np.array([(k.size, k.angle, k.response, k.octave)
+                            for k in kps], np.float32).reshape(-1, 4)
+        des = des.astype(np.float32) if des is not None else None
+    else:
+        raise ValueError(f"unknown detector {config.detector}")
+
+    if des is None:
+        des = np.zeros((0, 128), np.float32)
+        kp = np.zeros((0, 2), np.float32)
+        kp_meta = np.zeros((0, 4), np.float32)
+    kp = kp / scale
+    return kp, kp_meta, np.ascontiguousarray(des, dtype=np.float32)
+
+
+def detect_project_features(proj, config: DetectorConfig, use_cache=True,
+                            progress=True):
+    """Detect (or load cached) features for every image in the project."""
+    from ..io.logger import log, qlog
+
+    it = proj.image_list
+    if progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(it, desc="detect")
+        except ImportError:
+            pass
+    for image in it:
+        if use_cache and image.load_features() and image.load_descriptors():
+            continue
+        qlog("Detecting features/descriptors for:", image.name)
+        gray = load_gray(proj.image_path(image), equalize=config.equalize)
+        h, w = gray.shape[:2]
+        image.set_size(w, h)
+        cam_w = int(proj.camera.get("width_px", 0))
+        cam_h = int(proj.camera.get("height_px", 0))
+        if cam_w and (w != cam_w or h != cam_h):
+            raise RuntimeError(
+                f"image dimensions {w}x{h} do not match camera config "
+                f"{cam_w}x{cam_h} — fix the camera config vs image size issue "
+                f"(reference image.py:300-306)")
+        kp, kp_meta, des = detect(gray, config)
+        image.kp, image.kp_meta, image.des = kp, kp_meta, des
+        image.save_features()
+        image.save_descriptors()
+        image.save_meta()

@@ -1,0 +1,304 @@
+"""Project workspace: the reference-compatible on-disk contract.
+
+Layout (reference project.py:24-82, SURVEY.md §1 data contracts):
+
+    <project_dir>/                      the mission's image folder
+      IMG_0001.jpg ...
+      pix4d.csv | image-metadata.txt    pose input
+      ImageAnalysis/
+        config.json                     serialized /config tree
+        messages-<host>                 run log
+        meta/<image>.json               per-image pose metadata
+        meta/<image>.match              pickle {other_name: [[i,j],...]}
+        cache/<image>.feat              gzip pickle [(pt,size,angle,response,
+                                        octave,class_id), ...]
+        cache/<image>.desc              gzip np.save descriptor matrix
+        state/STEPn                     stage gate markers
+        matches_grouped                 pickle unified match list
+        groups.json                     list of image-name lists
+        smart.json                      /smart priors tree
+        models/                         render outputs
+
+All host-side Python — this is the compatibility shell; compute lives on the
+device.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import gzip
+import os
+import pickle
+
+import numpy as np
+
+from . import camera_db, logger, state
+from .props import PropertyNode
+from ..core import geodesy
+from ..core.rotations import quat_from_ypr, quat_multiply, quat_to_matrix, ypr_from_quat
+
+D2R = np.pi / 180.0
+R2D = 180.0 / np.pi
+
+
+class ImageRecord:
+    """Per-image state: poses, features, matches (reference image.py:25)."""
+
+    def __init__(self, analysis_dir: str, base: str):
+        self.name = base
+        self.analysis_dir = analysis_dir
+        self.meta_file = os.path.join(analysis_dir, "meta", base + ".json")
+        self.match_file = os.path.join(analysis_dir, "meta", base + ".match")
+        self.features_file = os.path.join(analysis_dir, "cache", base + ".feat")
+        self.desc_file = os.path.join(analysis_dir, "cache", base + ".desc")
+        self.node = PropertyNode()
+        self.kp = None          # (n, 2) float32 keypoint uv
+        self.kp_meta = None     # (n, 4) size, angle, response, octave
+        self.des = None         # (n, d) descriptors
+        self.uv_list = None     # undistorted kp uv
+        self.match_list = {}
+        self.matches_clean = True
+        if os.path.isfile(self.meta_file):
+            self.node = PropertyNode.load_json(self.meta_file)
+
+    # -- poses ------------------------------------------------------------
+    def set_aircraft_pose(self, lat_deg, lon_deg, alt_m, yaw_deg, pitch_deg,
+                          roll_deg, flight_time=-1.0):
+        quat = np.asarray(quat_from_ypr(yaw_deg * D2R, pitch_deg * D2R, roll_deg * D2R))
+        n = self.node.node("aircraft_pose")
+        n.set("lat_deg", float(lat_deg))
+        n.set("lon_deg", float(lon_deg))
+        n.set("alt_m", float(alt_m))
+        n.set("yaw_deg", float(yaw_deg))
+        n.set("pitch_deg", float(pitch_deg))
+        n.set("roll_deg", float(roll_deg))
+        n.setlist("quat", quat)
+        if flight_time > 0.0:
+            self.node.set("flight_time", float(flight_time))
+
+    def set_camera_pose(self, ned, yaw_deg, pitch_deg, roll_deg, opt=False):
+        quat = np.asarray(quat_from_ypr(yaw_deg * D2R, pitch_deg * D2R, roll_deg * D2R))
+        n = self.node.node("camera_pose_opt" if opt else "camera_pose")
+        if opt:
+            n.set("valid", True)
+        n.setlist("ned", ned)
+        n.set("yaw_deg", float(yaw_deg))
+        n.set("pitch_deg", float(pitch_deg))
+        n.set("roll_deg", float(roll_deg))
+        n.setlist("quat", quat)
+
+    def get_aircraft_pose(self):
+        n = self.node.node("aircraft_pose")
+        lla = [n.get("lat_deg", 0.0), n.get("lon_deg", 0.0), n.get("alt_m", 0.0)]
+        ypr = [n.get("yaw_deg", 0.0), n.get("pitch_deg", 0.0), n.get("roll_deg", 0.0)]
+        return lla, ypr, n.getlist("quat")
+
+    def get_camera_pose(self, opt=False):
+        name = "camera_pose_opt" if opt else "camera_pose"
+        n = self.node.node(name)
+        ned = n.getlist("ned") or [0.0, 0.0, 0.0]
+        ypr = [n.get("yaw_deg", 0.0), n.get("pitch_deg", 0.0), n.get("roll_deg", 0.0)]
+        quat = n.getlist("quat") or [1.0, 0.0, 0.0, 0.0]
+        return ned, ypr, quat
+
+    def has_opt_pose(self):
+        n = self.node.node("camera_pose_opt", create=False)
+        return bool(n and n.get("valid"))
+
+    def get_body2ned(self, opt=False):
+        _, _, quat = self.get_camera_pose(opt)
+        return np.asarray(quat_to_matrix(np.asarray(quat, np.float64)))
+
+    def get_size(self):
+        return int(self.node.get("width", 0)), int(self.node.get("height", 0))
+
+    def set_size(self, width, height):
+        self.node.set("width", int(width))
+        self.node.set("height", int(height))
+
+    # -- persistence ------------------------------------------------------
+    def save_meta(self):
+        self.node.save_json(self.meta_file)
+
+    def save_features(self):
+        """gzip pickle of (pt, size, angle, response, octave, class_id)
+        tuples — byte-compatible with the reference (image.py:192-208)."""
+        feature_list = [
+            ((float(self.kp[i, 0]), float(self.kp[i, 1])),
+             float(self.kp_meta[i, 0]), float(self.kp_meta[i, 1]),
+             float(self.kp_meta[i, 2]), int(self.kp_meta[i, 3]), -1)
+            for i in range(len(self.kp))
+        ]
+        with gzip.open(self.features_file, "wb", compresslevel=6) as f:
+            pickle.dump(feature_list, f)
+
+    def load_features(self) -> bool:
+        if not os.path.exists(self.features_file):
+            return False
+        with gzip.open(self.features_file, "rb") as f:
+            feature_list = pickle.load(f)
+        n = len(feature_list)
+        self.kp = np.zeros((n, 2), np.float32)
+        self.kp_meta = np.zeros((n, 4), np.float32)
+        for i, p in enumerate(feature_list):
+            self.kp[i] = p[0]
+            self.kp_meta[i] = (p[1], p[2], p[3], p[4])
+        return True
+
+    def save_descriptors(self):
+        with gzip.open(self.desc_file, "wb", compresslevel=6) as f:
+            np.save(f, self.des)
+
+    def load_descriptors(self) -> bool:
+        if self.des is not None:
+            return True
+        if not os.path.exists(self.desc_file):
+            return False
+        with gzip.open(self.desc_file, "rb") as f:
+            self.des = np.load(f)
+        return True
+
+    def unload_descriptors(self):
+        self.des = None
+
+    def save_matches(self):
+        with open(self.match_file, "wb") as f:
+            pickle.dump(self.match_list, f)
+        self.matches_clean = True
+
+    def load_matches(self) -> bool:
+        if not os.path.exists(self.match_file):
+            return False
+        with open(self.match_file, "rb") as f:
+            self.match_list = pickle.load(f)
+        self.matches_clean = True
+        return True
+
+
+class ProjectMgr:
+    """Workspace lifecycle (reference project.py:23-125)."""
+
+    def __init__(self, project_dir: str, create: bool = False):
+        self.project_dir = project_dir
+        self.analysis_dir = os.path.join(project_dir, "ImageAnalysis")
+        self.meta_dir = os.path.join(self.analysis_dir, "meta")
+        self.cache_dir = os.path.join(self.analysis_dir, "cache")
+        self.state_dir = os.path.join(self.analysis_dir, "state")
+        self.models_dir = os.path.join(self.analysis_dir, "models")
+        self.image_list: list[ImageRecord] = []
+        if create:
+            for d in (self.analysis_dir, self.meta_dir, self.cache_dir,
+                      self.state_dir):
+                os.makedirs(d, exist_ok=True)
+        elif not os.path.isdir(self.analysis_dir):
+            raise FileNotFoundError(f"analysis dir doesn't exist: {self.analysis_dir}")
+        logger.init(self.analysis_dir)
+        self.state = state.StateMgr(self.state_dir)
+        self.config = PropertyNode()
+        self.config_file = os.path.join(self.analysis_dir, "config.json")
+        if os.path.isfile(self.config_file):
+            self.config = PropertyNode.load_json(self.config_file)
+        self.config.node("directories").set("project_dir", project_dir)
+
+    # -- config -----------------------------------------------------------
+    def save(self):
+        self.config.save_json(self.config_file)
+
+    @property
+    def camera(self) -> PropertyNode:
+        return self.config.node("camera")
+
+    def detect_camera(self) -> str:
+        """Camera key from the first image's EXIF (reference project.py:127)."""
+        from . import exif
+        files = self.image_files()
+        if not files:
+            return ""
+        key, _, _, _ = exif.get_camera_info(os.path.join(self.project_dir, files[0]))
+        return key
+
+    def set_camera_config(self, cfg: dict):
+        self.camera.update(cfg)
+
+    def camera_model(self, optimized=False):
+        return camera_db.to_model(self.camera.as_dict(), optimized=optimized)
+
+    def get_mount_params(self):
+        m = self.camera.node("mount")
+        return [m.get("yaw_deg", 0.0), m.get("pitch_deg", 0.0), m.get("roll_deg", 0.0)]
+
+    def get_body2cam(self):
+        y, p, r = self.get_mount_params()
+        return np.asarray(quat_from_ypr(y * D2R, p * D2R, r * D2R))
+
+    # -- images -----------------------------------------------------------
+    def image_files(self):
+        out = []
+        for f in os.listdir(self.project_dir):
+            if fnmatch.fnmatch(f, "*.jpg") or fnmatch.fnmatch(f, "*.JPG") \
+               or fnmatch.fnmatch(f, "*.jpeg") or fnmatch.fnmatch(f, "*.png"):
+                out.append(f)
+        return sorted(out)
+
+    def load_images_info(self):
+        """Populate image_list from meta/*.json (reference project.py:146)."""
+        self.image_list = []
+        if not os.path.isdir(self.meta_dir):
+            return
+        for f in sorted(os.listdir(self.meta_dir)):
+            if f.endswith(".json"):
+                self.image_list.append(ImageRecord(self.analysis_dir, f[:-5]))
+
+    def image_by_name(self, name: str) -> ImageRecord | None:
+        for im in self.image_list:
+            if im.name == name:
+                return im
+        return None
+
+    def image_path(self, image: ImageRecord) -> str:
+        for ext in (".jpg", ".JPG", ".jpeg", ".png"):
+            p = os.path.join(self.project_dir, image.name + ext)
+            if os.path.isfile(p):
+                return p
+        return os.path.join(self.project_dir, image.name + ".jpg")
+
+    # -- reference frame --------------------------------------------------
+    def compute_ned_reference_lla(self):
+        """Average image lat/lon, alt 0 (reference project.py:239-255)."""
+        lats, lons = [], []
+        for im in self.image_list:
+            n = im.node.node("aircraft_pose", create=False)
+            if n and n.has("lat_deg"):
+                lats.append(n.get("lat_deg"))
+                lons.append(n.get("lon_deg"))
+        ned_node = self.config.node("ned_reference")
+        ned_node.set("lat_deg", float(np.mean(lats)))
+        ned_node.set("lon_deg", float(np.mean(lons)))
+        ned_node.set("alt_m", 0.0)
+
+    def ned_reference_lla(self):
+        n = self.config.node("ned_reference")
+        return [n.get("lat_deg", 0.0), n.get("lon_deg", 0.0), n.get("alt_m", 0.0)]
+
+    # -- matches (unified structure) --------------------------------------
+    def save_matches_grouped(self, matches, name="matches_grouped"):
+        with open(os.path.join(self.analysis_dir, name), "wb") as f:
+            pickle.dump(matches, f)
+
+    def load_matches_grouped(self, name="matches_grouped"):
+        with open(os.path.join(self.analysis_dir, name), "rb") as f:
+            return pickle.load(f)
+
+    # -- undistortion helpers --------------------------------------------
+    def undistort_image_keypoints(self, image: ImageRecord, optimized=False):
+        """Populate image.uv_list with undistorted kp coords (reference
+        project.py:278-296), via the jnp camera model."""
+        from ..core.camera import undistort_pixels
+        import jax.numpy as jnp
+
+        if image.kp is None or len(image.kp) == 0:
+            image.uv_list = np.zeros((0, 2), np.float32)
+            return
+        model = self.camera_model(optimized)
+        uv = undistort_pixels(jnp.asarray(image.kp), model.K, model.dist)
+        image.uv_list = np.asarray(uv)

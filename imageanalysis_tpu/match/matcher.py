@@ -1,0 +1,239 @@
+"""The match engine: batched pair matching on device.
+
+Replaces the reference's per-pair FLANN + python-loop strategies
+(reference matcher.py:203-851). The four reference strategies map to:
+
+- ``traditional`` — bidirectional ratio-test + cross-check + geometric
+  RANSAC filter (reference matcher.py:304-356) → exact mutual 2-NN + ratio
+  + vmapped RANSAC, the default here;
+- ``bestratio``/``bruteforce`` — ratio-binned rematch loops that exist to
+  squeeze approximate FLANN output (matcher.py:595-851); exact k-NN makes
+  them redundant, so they alias to ``traditional``;
+- ``smart`` — ground-projection seeded homography refinement
+  (matcher.py:358-593), implemented in smart.py priors + the homography
+  filter here.
+
+The whole per-pair pipeline — 2-NN, ratio, mutual check, RANSAC geometric
+filter — is ONE jitted, vmapped device call over a batch of pairs with padded
+static shapes. Pairs/sec/chip is the headline benchmark (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.logger import log, qlog
+from ..ops import knn, ransac
+from . import worklist
+
+
+class MatchConfig:
+    def __init__(self, strategy="traditional", ratio=0.75, transform="homography",
+                 match_ratio=None, min_pairs=25, filter_thresh=None,
+                 batch_size=16, n_hyp=512, detector_width=None, bf16=True,
+                 use_pallas=None, seed=42):
+        self.strategy = strategy
+        self.ratio = match_ratio if match_ratio is not None else ratio
+        self.transform = transform          # homography|fundamental|essential|none
+        self.min_pairs = min_pairs          # reference matcher.py:131 (25)
+        self.filter_thresh = filter_thresh  # None → w^0.25 (reference matcher.py:121)
+        self.batch_size = batch_size
+        self.n_hyp = n_hyp
+        self.bf16 = bf16
+        self.use_pallas = use_pallas
+        self.seed = seed
+
+
+def _round_up(x, m):
+    return ((int(x) + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("transform", "n_hyp", "use_pallas", "bf16"))
+def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
+                     ratio=0.75, thresh=3.0, transform="homography",
+                     n_hyp=512, use_pallas=False, bf16=True):
+    """Match a batch of image pairs end to end on device.
+
+    desc_a/desc_b: (B, npad, d); uv_a/uv_b: (B, npad, 2) **undistorted** kp
+    coords; n_a/n_b: (B,) real counts; keys: (B, 2) PRNG keys. Returns
+    (best_j (B, npad), valid (B, npad)) where valid marks ratio+mutual+RANSAC
+    survivors.
+    """
+    def one(da, db, ua, ub, na, nb, key):
+        best_j, ok = knn.match_pair_dense(da, db, na, nb, ratio=ratio,
+                                          mutual=True, use_pallas=use_pallas,
+                                          bf16=bf16)
+        pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+        if transform == "homography":
+            res = ransac.ransac_homography(key, ua, pb, ok, thresh=thresh,
+                                           n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        elif transform == "fundamental":
+            res = ransac.ransac_fundamental(key, ua, pb, ok, thresh=thresh,
+                                            n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        elif transform == "essential":
+            res = ransac.ransac_essential(key, ua, pb, ok, K, thresh=thresh,
+                                          n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        return best_j, ok
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0))(
+        desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys)
+
+
+class BatchMatcher:
+    """Host orchestration: pack pair batches, run the device call, unpack."""
+
+    def __init__(self, proj, config: MatchConfig):
+        self.proj = proj
+        self.config = config
+        cam = proj.camera_model()
+        self.K = cam.K
+        w = int(proj.camera.get("width_px", 0)) or 4000
+        # reference geometric-filter tolerance: w^0.25 px (matcher.py:119-121)
+        self.thresh = (config.filter_thresh if config.filter_thresh
+                       else float(w) ** 0.25)
+        self.key = jax.random.PRNGKey(config.seed)
+        if config.use_pallas is None:
+            config.use_pallas = jax.default_backend() == "tpu"
+
+    def _prepare(self, image):
+        if image.kp is None:
+            image.load_features()
+        image.load_descriptors()
+        if image.uv_list is None:
+            self.proj.undistort_image_keypoints(image)
+
+    def match_pairs(self, pairs, progress=True):
+        """pairs: list of (i, j) image indices. Fills image.match_list both
+        directions like the reference (matcher.py:975-985)."""
+        cfg = self.config
+        images = self.proj.image_list
+        npad = 256
+        for im in images:
+            if im.kp is None:
+                im.load_features()
+            if im.kp is not None and len(im.kp):
+                npad = max(npad, _round_up(len(im.kp), 256))
+
+        B = cfg.batch_size
+        it = range(0, len(pairs), B)
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it, desc="match", total=(len(pairs) + B - 1) // B)
+            except ImportError:
+                pass
+
+        d = None
+        for im in images:
+            if im.des is not None and im.des.shape[0]:
+                d = im.des.shape[1]
+                break
+        if d is None:
+            d = 128
+
+        n_matched = 0
+        for start in it:
+            chunk = pairs[start:start + B]
+            bsz = len(chunk)
+            desc_a = np.full((B, npad, d), knn.PAD_VALUE, np.float32)
+            desc_b = np.full((B, npad, d), knn.PAD_VALUE, np.float32)
+            uv_a = np.zeros((B, npad, 2), np.float32)
+            uv_b = np.zeros((B, npad, 2), np.float32)
+            n_a = np.zeros(B, np.int32)
+            n_b = np.zeros(B, np.int32)
+            for bi, (i, j) in enumerate(chunk):
+                i1, i2 = images[i], images[j]
+                self._prepare(i1)
+                self._prepare(i2)
+                na, nb = len(i1.kp), len(i2.kp)
+                desc_a[bi, :na] = i1.des
+                desc_b[bi, :nb] = i2.des
+                uv_a[bi, :na] = i1.uv_list
+                uv_b[bi, :nb] = i2.uv_list
+                n_a[bi], n_b[bi] = na, nb
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, B)
+            best_j, ok = match_pair_batch(
+                jnp.asarray(desc_a), jnp.asarray(desc_b),
+                jnp.asarray(uv_a), jnp.asarray(uv_b),
+                jnp.asarray(n_a), jnp.asarray(n_b), keys, self.K,
+                ratio=cfg.ratio, thresh=self.thresh, transform=cfg.transform,
+                n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=cfg.bf16)
+            best_j = np.asarray(best_j)
+            ok = np.asarray(ok)
+            for bi, (i, j) in enumerate(chunk):
+                i1, i2 = images[i], images[j]
+                rows = np.nonzero(ok[bi])[0]
+                cols = best_j[bi, rows]
+                if len(rows) < self.config.min_pairs:
+                    # too few survivors — record empty result (reference
+                    # matcher.py:129-136 discards < 25 inliers)
+                    rows = rows[:0]
+                    cols = cols[:0]
+                idx_pairs = np.stack([rows, cols], axis=1).astype(int).tolist()
+                i1.match_list[i2.name] = idx_pairs
+                i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
+                i1.matches_clean = False
+                i2.matches_clean = False
+                n_matched += len(idx_pairs)
+        return n_matched
+
+
+def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
+                 sort=False, save_interval=300.0):
+    """Top-level Step 3a (reference matcher.py:852-1031): build the pair work
+    list, match every pair on device, save incrementally."""
+    config = config or MatchConfig()
+    poses = []
+    for im in proj.image_list:
+        ned, _, _ = im.get_camera_pose()
+        poses.append(ned)
+    work = worklist.build_work_list(np.asarray(poses), use_distance=use_distance,
+                                    sort=sort)
+    log(f"Work list: {len(work)} pairs over {len(proj.image_list)} images")
+
+    # skip already-matched pairs (crash resume; reference matcher.py:946-951)
+    todo = []
+    for _, i, j in work:
+        i1, i2 = proj.image_list[i], proj.image_list[j]
+        if not i1.match_list:
+            i1.load_matches()
+        if not i2.match_list:
+            i2.load_matches()
+        if i2.name in i1.match_list and i1.name in i2.match_list \
+           and len(i1.match_list[i2.name]) > 0:
+            continue
+        todo.append((i, j))
+    if len(todo) < len(work):
+        log(f"Resuming: {len(work) - len(todo)} pairs already matched")
+
+    matcher = BatchMatcher(proj, config)
+    t0 = time.time()
+    last_save = t0
+    B = config.batch_size * 8
+    total = 0
+    for s in range(0, len(todo), B):
+        total += matcher.match_pairs(todo[s:s + B], progress=True)
+        if time.time() - last_save > save_interval:
+            _save_all_matches(proj)
+            last_save = time.time()
+    _save_all_matches(proj)
+    dt = time.time() - t0
+    if todo:
+        log(f"Matched {len(todo)} pairs in {dt:.1f}s "
+            f"({len(todo)/max(dt,1e-9):.2f} pairs/s), {total} matches")
+    return total
+
+
+def _save_all_matches(proj):
+    for im in proj.image_list:
+        if not im.matches_clean:
+            im.save_matches()

@@ -1,0 +1,141 @@
+"""Synthetic mission generator: ground-truth scenes for tests and benchmarks.
+
+Renders a flat textured ground plane from known nadir-ish camera poses (each
+view is an exact homography of the ortho texture — no distortion), writes the
+JPGs + pix4d.csv into a project dir, and returns the ground truth. This plays
+the role of the reference's published validation datasets (README-DataSets.md)
+as an executable fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core import geodesy
+from ..core.camera import CAM2BODY
+from ..core.rotations import quat_from_ypr, quat_multiply, quat_to_matrix, ypr_from_quat
+
+D2R = np.pi / 180.0
+R2D = 180.0 / np.pi
+
+REF_LLA = (44.97, -93.26, 0.0)
+
+
+def make_ground_texture(rng, size=2048, blur=2.0):
+    import cv2
+
+    tex = rng.uniform(0, 255, (size, size)).astype(np.float32)
+    tex = cv2.GaussianBlur(tex, (0, 0), blur)
+    # add multi-scale structure so SIFT has features at several octaves
+    for s in (8, 32):
+        coarse = cv2.resize(rng.uniform(0, 255, (size // s, size // s))
+                            .astype(np.float32), (size, size),
+                            interpolation=cv2.INTER_CUBIC)
+        tex += coarse
+    tex = cv2.normalize(tex, None, 0, 255, cv2.NORM_MINMAX)
+    return tex.astype(np.uint8)
+
+
+class SyntheticMission:
+    def __init__(self, project_dir, n_images=6, img_size=(800, 600),
+                 altitude=100.0, spacing=18.0, fx=700.0, texture_res=0.25,
+                 yaw_jitter=3.0, pos_jitter=1.0, seed=7, rows=1):
+        """texture_res: meters per texture pixel."""
+        self.project_dir = project_dir
+        self.n_images = n_images
+        self.w, self.h = img_size
+        self.alt = altitude
+        self.fx = fx
+        self.K = np.array([[fx, 0, self.w / 2.0], [0, fx, self.h / 2.0],
+                           [0, 0, 1.0]])
+        self.rng = np.random.default_rng(seed)
+        self.texture_res = texture_res
+        self.spacing = spacing
+        self.yaw_jitter = yaw_jitter
+        self.pos_jitter = pos_jitter
+        self.rows = rows
+        self.poses = []  # (name, ned, aircraft ypr_deg)
+
+    def generate(self):
+        import cv2
+
+        os.makedirs(self.project_dir, exist_ok=True)
+        tex = make_ground_texture(self.rng)
+        ts = tex.shape[0]
+        # texture pixel (px, py) → world NED (n, e, 0): center the texture
+        res = self.texture_res
+        S = np.array([[0.0, res, -ts / 2.0 * res],   # n = (py − c)·res
+                      [res, 0.0, -ts / 2.0 * res],   # e = (px − c)·res
+                      [0.0, 0.0, 1.0]])
+        per_row = self.n_images // self.rows or 1
+        records = []
+        for i in range(self.n_images):
+            row, col = divmod(i, per_row)
+            ned = np.array([
+                col * self.spacing + self.rng.normal(0, self.pos_jitter),
+                row * self.spacing * 2.5 + self.rng.normal(0, self.pos_jitter),
+                -self.alt + self.rng.normal(0, self.pos_jitter),
+            ])
+            yaw = self.rng.normal(0, self.yaw_jitter)
+            # aircraft level, camera mounted pitch -90 (nadir)
+            ac_ypr = (yaw, 0.0, 0.0)
+            name = f"IMG_{i:04d}.jpg"
+            self._render(cv2, tex, S, ned, ac_ypr, name)
+            records.append((name, ned, ac_ypr))
+        self.poses = records
+        self._write_pix4d(records)
+        return records
+
+    def camera_quat(self, ac_ypr_deg):
+        """NED→virtual-camera-body quat for aircraft ypr + nadir mount."""
+        q_ac = quat_from_ypr(ac_ypr_deg[0] * D2R, ac_ypr_deg[1] * D2R,
+                             ac_ypr_deg[2] * D2R)
+        q_mount = quat_from_ypr(0.0, -90.0 * D2R, 0.0)
+        return np.asarray(quat_multiply(q_ac, q_mount))
+
+    def _render(self, cv2, tex, S, ned, ac_ypr, name):
+        q_cam = self.camera_quat(ac_ypr)
+        B = np.asarray(quat_to_matrix(q_cam))          # body→NED
+        R = np.asarray(CAM2BODY).T @ B.T               # NED→cam
+        # ground point (n, e, 0): x_cam = R[:, :2]·(n,e) + R·(−ned)... plus
+        # translation t = −R·ned ⇒ homography world-plane→image:
+        t = -R @ ned
+        H_world = self.K @ np.column_stack([R[:, 0], R[:, 1], t])
+        H = H_world @ S
+        img = cv2.warpPerspective(tex, H, (self.w, self.h),
+                                  flags=cv2.INTER_LINEAR)
+        cv2.imwrite(os.path.join(self.project_dir, name), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    def _write_pix4d(self, records):
+        lines = ["File Name,Lat (decimal degrees),Lon (decimal degrees),"
+                 "Alt (meters MSL),Roll (decimal degrees),"
+                 "Pitch (decimal degrees),Yaw (decimal degrees)"]
+        for name, ned, ac_ypr in records:
+            lla = geodesy.ned2lla(ned, *REF_LLA)
+            lines.append(f"{name},{lla[0]:.10f},{lla[1]:.10f},{lla[2]:.2f},"
+                         f"{ac_ypr[2]:.2f},{ac_ypr[1]:.2f},{ac_ypr[0]:.2f}")
+        with open(os.path.join(self.project_dir, "pix4d.csv"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    def camera_config(self):
+        return {
+            "make": "Synthetic", "model": "TestCam", "lens_model": "none",
+            "K": [self.fx, 0.0, self.w / 2.0, 0.0, self.fx, self.h / 2.0,
+                  0.0, 0.0, 1.0],
+            "dist_coeffs": [0.0] * 5,
+            "width_px": self.w, "height_px": self.h,
+            "focal_len_mm": 8.0, "ccd_width_mm": 8.0 * self.w / self.fx,
+            "ccd_height_mm": 8.0 * self.h / self.fx,
+        }
+
+    def true_camera_ned(self, ref_lla=None):
+        """Ground-truth camera NED positions, optionally re-expressed in a
+        different NED reference (e.g. the one the pipeline computed)."""
+        ned = np.array([n for _, n, _ in self.poses])
+        if ref_lla is None:
+            return ned
+        lla = geodesy.ned2lla(ned, *REF_LLA)
+        return geodesy.lla2ned(lla[:, 0], lla[:, 1], lla[:, 2], *ref_lla)

@@ -1,0 +1,131 @@
+"""End-to-end pipeline test: synthetic mission → process → check recovery.
+
+This is BASELINE config 2 ("20-image strip: full pairwise match graph +
+clean/combine + triangulation + BA") in miniature, proving the on-disk data
+contracts and the full stage flow.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def mission(tmp_path_factory):
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+    from imageanalysis_tpu.io import camera_db
+
+    proj_dir = str(tmp_path_factory.mktemp("mission"))
+    m = SyntheticMission(proj_dir, n_images=6, img_size=(800, 600),
+                         altitude=100.0, spacing=15.0, seed=11)
+    m.generate()
+    # put the synthetic camera in a DB dir the pipeline can find
+    db_dir = str(tmp_path_factory.mktemp("cameras"))
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db_dir)
+    return m, db_dir
+
+
+@pytest.fixture(scope="module")
+def processed(mission):
+    from imageanalysis_tpu.apps import process
+
+    m, db_dir = mission
+    rc = process.main([m.project_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db_dir, "--scale", "1.0",
+                       "--ground", "0.0", "--batch-size", "4",
+                       "--min-chain-len", "2"])
+    assert rc == 0
+    return m
+
+
+def test_workspace_layout(processed):
+    m = processed
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    for sub in ("meta", "cache", "state"):
+        assert os.path.isdir(os.path.join(ia, sub))
+    assert os.path.isfile(os.path.join(ia, "config.json"))
+    assert os.path.isfile(os.path.join(ia, "matches_grouped"))
+    # per-image artifacts
+    for i in range(m.n_images):
+        base = f"IMG_{i:04d}"
+        assert os.path.isfile(os.path.join(ia, "meta", base + ".json"))
+        assert os.path.isfile(os.path.join(ia, "cache", base + ".feat"))
+        assert os.path.isfile(os.path.join(ia, "cache", base + ".desc"))
+    with open(os.path.join(ia, "config.json")) as f:
+        cfg = json.load(f)
+    assert cfg["camera"]["width_px"] == m.w
+    assert "ned_reference" in cfg
+
+
+def test_meta_schema(processed):
+    m = processed
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    with open(os.path.join(ia, "meta", "IMG_0000.json")) as f:
+        meta = json.load(f)
+    ap = meta["aircraft_pose"]
+    for key in ("lat_deg", "lon_deg", "alt_m", "yaw_deg", "pitch_deg",
+                "roll_deg", "quat"):
+        assert key in ap
+    cp = meta["camera_pose"]
+    assert len(cp["ned"]) == 3 and len(cp["quat"]) == 4
+    assert meta["camera_pose_opt"]["valid"] is True
+
+
+def test_match_structure(processed):
+    m = processed
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    with open(os.path.join(ia, "matches_grouped"), "rb") as f:
+        matches = pickle.load(f)
+    assert len(matches) > 100
+    for match in matches[:50]:
+        assert match[0] is not None and len(match[0]) == 3
+        assert isinstance(match[1], int)
+        assert len(match) >= 4  # ned, group, ≥2 obs
+        for img, uv in match[2:]:
+            assert 0 <= img < m.n_images
+            assert len(uv) == 2
+    # chains sorted longest first
+    lens = [len(mm) for mm in matches]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_camera_recovery(processed):
+    """Optimized camera positions should stay near the (GPS-exact) truth and
+    reprojection should be sub-pixel."""
+    from imageanalysis_tpu.io.project import ProjectMgr
+
+    m = processed
+    proj = ProjectMgr(m.project_dir)
+    proj.load_images_info()
+    truth = m.true_camera_ned(ref_lla=proj.ned_reference_lla())
+    for i, im in enumerate(proj.image_list):
+        assert im.has_opt_pose()
+        ned, _, _ = im.get_camera_pose(opt=True)
+        assert np.linalg.norm(np.asarray(ned) - truth[i]) < 3.0
+
+
+def test_triangulated_points_on_ground(processed):
+    m = processed
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    with open(os.path.join(ia, "matches_grouped"), "rb") as f:
+        matches = pickle.load(f)
+    ned = np.array([mm[0] for mm in matches])
+    # ground plane is at down≈0 in the synthetic world
+    assert abs(np.median(ned[:, 2])) < 3.0
+
+
+def test_pipeline_resume_is_noop(processed, capsys):
+    """Re-running process must skip all completed stages via state gating."""
+    from imageanalysis_tpu.apps import process
+
+    m = processed
+    rc = process.main([m.project_dir, "--ground", "0.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Step 3a" not in out
+    assert "Pipeline complete" in out
