@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Headline benchmark: image pairs matched per second per chip.
+
+Workload (BASELINE.md): the full per-pair match pipeline — exact 2-NN over
+~6k 128-d SIFT-scale descriptor sets, Lowe ratio test, mutual cross-check,
+homography-RANSAC geometric filter — the reference's Step 3a inner loop
+(matcher.py:203-593), which dominates mission wall-clock.
+
+Baseline: the reference's own stack (OpenCV FLANN knnMatch + ratio +
+cross-check + cv2.findHomography RANSAC) timed on this host's CPU over the
+same synthetic pairs. vs_baseline = ours / reference (higher is better).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+N_FEAT = 6000          # realistic SIFT count at scale 0.4 on a 20 MP frame
+N_PAD = 6144           # multiple of the pallas tile sizes (256/512)
+DIM = 128
+BATCH = 16
+PLANTED = 1500         # correspondences per pair
+CV_BASELINE_PAIRS = 2
+
+
+def make_pair_batch(rng, batch):
+    from imageanalysis_tpu.ops import knn
+
+    desc_a = rng.uniform(0, 360, (batch, N_PAD, DIM)).astype(np.float32)
+    desc_b = rng.uniform(0, 360, (batch, N_PAD, DIM)).astype(np.float32)
+    desc_a[:, N_FEAT:] = knn.PAD_VALUE
+    desc_b[:, N_FEAT:] = knn.PAD_VALUE
+    desc_b[:, :PLANTED] = desc_a[:, :PLANTED] + rng.normal(
+        0, 4, (batch, PLANTED, DIM)).astype(np.float32)
+    uv_a = rng.uniform(0, 4000, (batch, N_PAD, 2)).astype(np.float32)
+    H_scale = np.array([1.02, 0.98])
+    uv_b = (uv_a * H_scale + np.array([25.0, -40.0])
+            + rng.normal(0, 0.5, uv_a.shape)).astype(np.float32)
+    return desc_a, desc_b, uv_a, uv_b
+
+
+def bench_ours(steps=6):
+    import jax
+    import jax.numpy as jnp
+
+    from imageanalysis_tpu.match.matcher import match_pair_batch
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    desc_a, desc_b, uv_a, uv_b = make_pair_batch(rng, BATCH)
+    n_a = np.full(BATCH, N_FEAT, np.int32)
+    n_b = np.full(BATCH, N_FEAT, np.int32)
+    K = jnp.asarray(np.array([[3000.0, 0, 2000], [0, 3000.0, 1500],
+                              [0, 0, 1]], np.float32))
+    args = [jnp.asarray(x) for x in
+            (desc_a, desc_b, uv_a, uv_b, n_a, n_b)]
+    kwargs = dict(ratio=0.75, thresh=7.9, transform="homography", n_hyp=512,
+                  use_pallas=on_tpu, bf16=True)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    # compile + warm up
+    out = match_pair_batch(*args, keys, K, **kwargs)
+    out[0].block_until_ready()
+    t0 = time.perf_counter()
+    for s in range(steps):
+        keys = jax.random.split(jax.random.PRNGKey(s + 1), BATCH)
+        out = match_pair_batch(*args, keys, K, **kwargs)
+    out[0].block_until_ready()
+    dt = time.perf_counter() - t0
+    n_matches = int(np.asarray(out[1]).sum())
+    pairs_per_sec = BATCH * steps / dt
+    return pairs_per_sec, n_matches / BATCH
+
+
+def bench_reference_cpu():
+    """The reference's per-pair pipeline with OpenCV, single-thread-ish CPU
+    (reference matcher.py:43-80 FLANN config, :218-300 ratio+crosscheck,
+    :122 findHomography RANSAC)."""
+    try:
+        import cv2
+    except ImportError:
+        return None
+    rng = np.random.default_rng(0)
+    desc_a, desc_b, uv_a, uv_b = make_pair_batch(rng, CV_BASELINE_PAIRS)
+    FLANN_INDEX_KDTREE = 1
+    index_params = dict(algorithm=FLANN_INDEX_KDTREE, trees=5)
+    search_params = dict(checks=100)
+    t0 = time.perf_counter()
+    for b in range(CV_BASELINE_PAIRS):
+        da = desc_a[b, :N_FEAT]
+        db = desc_b[b, :N_FEAT]
+        flann = cv2.FlannBasedMatcher(index_params, search_params)
+        raw = flann.knnMatch(da, db, k=2)
+        rev = flann.knnMatch(db, da, k=1)
+        rev_best = {m[0].queryIdx: m[0].trainIdx for m in rev if m}
+        src, dst = [], []
+        for m_n in raw:
+            if len(m_n) < 2:
+                continue
+            m, n = m_n
+            if m.distance < 0.75 * n.distance and \
+               rev_best.get(m.trainIdx) == m.queryIdx:
+                src.append(uv_a[b, m.queryIdx])
+                dst.append(uv_b[b, m.trainIdx])
+        if len(src) >= 4:
+            cv2.findHomography(np.asarray(src), np.asarray(dst), cv2.RANSAC, 7.9)
+    dt = time.perf_counter() - t0
+    return CV_BASELINE_PAIRS / dt
+
+
+def main():
+    pairs_per_sec, matches_per_pair = bench_ours()
+    ref = bench_reference_cpu()
+    vs = pairs_per_sec / ref if ref else None
+    import jax
+    result = {
+        "metric": "image pairs matched/sec/chip (6k-feature SIFT pairs, "
+                  "2-NN+ratio+crosscheck+homography-RANSAC)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+        "detail": {
+            "backend": jax.default_backend(),
+            "matches_per_pair": round(matches_per_pair, 1),
+            "reference_cpu_pairs_per_sec": round(ref, 4) if ref else None,
+            "n_features": N_FEAT,
+            "batch": BATCH,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

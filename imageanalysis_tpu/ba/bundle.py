@@ -116,9 +116,10 @@ def _seg(x, idx, num):
     return jax.ops.segment_sum(x, idx, num_segments=num)
 
 
-@functools.partial(jax.jit, static_argnames=("n_cam", "n_pt", "cg_iters"))
-def lm_step(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40, cg_tol=1e-3):
-    """One damped Gauss–Newton step via Schur complement + PCG.
+def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
+                 cg_tol=1e-3):
+    """One damped Gauss–Newton step via Schur complement + PCG (unjitted —
+    parallel/ re-jits this with observation shardings over a device mesh).
 
     Returns (Δcams (n_cam,7), Δpts (n_pt,3), predicted_decrease).
     """
@@ -197,6 +198,10 @@ def lm_step(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40, cg_tol=1e-3)
     # predicted decrease for LM gain ratio: −(gᵀΔ + ½ΔᵀHΔ) ≈ ½ Δᵀ(λDΔ − g)
     pred_dec = 0.5 * (dot(dc_cam, -g_c) + dot(dp_pts, -g_p))
     return dc_cam, dp_pts, pred_dec
+
+
+lm_step = functools.partial(jax.jit, static_argnames=("n_cam", "n_pt",
+                                                      "cg_iters", "cg_tol"))(lm_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=())

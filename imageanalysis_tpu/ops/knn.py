@@ -71,25 +71,26 @@ def knn_top2_ref(desc_a, desc_b, bf16=True):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _knn_kernel(a_ref, b_ref, row_d_ref, row_i_ref, col_d_ref, col_i_ref,
-                r1_ref, r2_ref, i1_ref, i2_ref, *, tile_a, tile_b, bf16):
+def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
+                col_d_ref, col_i_ref, r1_ref, r2_ref, i1_ref, i2_ref, *,
+                tile_a, tile_b):
     ia = pl.program_id(0)
     ib = pl.program_id(1)
     nb_tiles = pl.num_programs(1)
 
-    a = a_ref[:]
-    b = b_ref[:]
-    if bf16:
-        ab = jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16).T,
-                     preferred_element_type=jnp.float32)
-    else:
-        ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
-    na2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1)
-    nb2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
+    # descriptors arrive pre-cast (bf16 for MXU speed or f32); norms are
+    # precomputed outside. precision must be DEFAULT explicitly: the package
+    # sets jax_default_matmul_precision=float32 globally, and Mosaic rejects
+    # HIGHEST-precision bf16 dots ("Bad lhs type")
+    dn = (((1,), (1,)), ((), ()))
+    ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+    na2 = na2_ref[:][:, 0]
+    nb2 = nb2_ref[:][:, 0]
     d2 = na2[:, None] + nb2[None, :] - 2.0 * ab  # (tile_a, tile_b)
 
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 0)
 
     # block row top-2
     m1 = jnp.min(d2, axis=1)
@@ -103,13 +104,13 @@ def _knn_kernel(a_ref, b_ref, row_d_ref, row_i_ref, col_d_ref, col_i_ref,
     # reset running row state at the start of each B sweep
     @pl.when(ib == 0)
     def _():
-        r1_ref[:] = jnp.full((tile_a,), _BIG, jnp.float32)
-        r2_ref[:] = jnp.full((tile_a,), _BIG, jnp.float32)
-        i1_ref[:] = jnp.zeros((tile_a,), jnp.int32)
-        i2_ref[:] = jnp.zeros((tile_a,), jnp.int32)
+        r1_ref[:] = jnp.full((tile_a, 1), _BIG, jnp.float32)
+        r2_ref[:] = jnp.full((tile_a, 1), _BIG, jnp.float32)
+        i1_ref[:] = jnp.zeros((tile_a, 1), jnp.int32)
+        i2_ref[:] = jnp.zeros((tile_a, 1), jnp.int32)
 
-    r1, r2 = r1_ref[:], r2_ref[:]
-    ri1, ri2 = i1_ref[:], i2_ref[:]
+    r1, r2 = r1_ref[:][:, 0], r2_ref[:][:, 0]
+    ri1, ri2 = i1_ref[:][:, 0], i2_ref[:][:, 0]
     # merge sorted pairs (r1<=r2, m1<=m2): new1 = min(r1,m1),
     # new2 = min(max(r1,m1), min(r2,m2))
     take_m = m1 < r1
@@ -122,31 +123,37 @@ def _knn_kernel(a_ref, b_ref, row_d_ref, row_i_ref, col_d_ref, col_i_ref,
     take_lo = lo < hi
     n2 = jnp.where(take_lo, lo, hi)
     ni2 = jnp.where(take_lo, lo_i, hi_i)
-    r1_ref[:] = n1
-    r2_ref[:] = n2
-    i1_ref[:] = ni1
-    i2_ref[:] = ni2
+    r1_ref[:] = n1[:, None]
+    r2_ref[:] = n2[:, None]
+    i1_ref[:] = ni1[:, None]
+    i2_ref[:] = ni2[:, None]
 
     @pl.when(ib == nb_tiles - 1)
     def _():
-        row_d_ref[:] = jnp.stack([r1_ref[:], r2_ref[:]], axis=1)
-        row_i_ref[:] = jnp.stack([i1_ref[:], i2_ref[:]], axis=1)
+        row_d_ref[:] = jnp.concatenate([r1_ref[:], r2_ref[:]], axis=1)
+        row_i_ref[:] = jnp.concatenate([i1_ref[:], i2_ref[:]], axis=1)
 
-    # column top-1, accumulated across A tiles (output block revisited)
-    cm = jnp.min(d2, axis=0)
-    ci = (ia * tile_a + jnp.argmin(d2, axis=0)).astype(jnp.int32)
+    # column top-1: the full (1, n_b) output lives as ONE block (constant
+    # index map) so it stays resident in VMEM across the whole grid — block
+    # revisiting across a non-innermost grid axis has no stability guarantee,
+    # and relying on it produced context-dependent miscompiles. Layout is
+    # (1, n_b) so n_b runs along lanes (a (n_b, 1) layout is 1-lane-wide and
+    # ~128× slower).
+    cm = jnp.min(d2, axis=0)[None, :]
+    ci = (ia * tile_a + jnp.argmin(d2, axis=0)).astype(jnp.int32)[None, :]
+    sl = pl.ds(ib * tile_b, tile_b)
 
     @pl.when(ia == 0)
     def _():
-        col_d_ref[:] = cm
-        col_i_ref[:] = ci
+        col_d_ref[:, sl] = cm
+        col_i_ref[:, sl] = ci
 
     @pl.when(ia > 0)
     def _():
-        old = col_d_ref[:]
+        old = col_d_ref[:, sl]
         better = cm < old
-        col_d_ref[:] = jnp.where(better, cm, old)
-        col_i_ref[:] = jnp.where(better, ci, col_i_ref[:])
+        col_d_ref[:, sl] = jnp.where(better, cm, old)
+        col_i_ref[:, sl] = jnp.where(better, ci, col_i_ref[:, sl])
 
 
 @functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "bf16"))
@@ -158,34 +165,40 @@ def knn_top2(desc_a, desc_b, tile_a=256, tile_b=512, bf16=True):
     assert n_a % tile_a == 0 and n_b % tile_b == 0, (n_a, n_b, tile_a, tile_b)
     grid = (n_a // tile_a, n_b // tile_b)
 
-    kernel = functools.partial(_knn_kernel, tile_a=tile_a, tile_b=tile_b, bf16=bf16)
-    return pl.pallas_call(
+    na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    kernel = functools.partial(_knn_kernel, tile_a=tile_a, tile_b=tile_b)
+    row_d, row_i, col_d, col_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
             pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
+            pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
         ],
         out_specs=[
             pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
             pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
-            pl.BlockSpec((tile_b,), lambda ia, ib: (ib,)),
-            pl.BlockSpec((tile_b,), lambda ia, ib: (ib,)),
+            pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
+            pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_a, 2), jnp.float32),
             jax.ShapeDtypeStruct((n_a, 2), jnp.int32),
-            jax.ShapeDtypeStruct((n_b,), jnp.float32),
-            jax.ShapeDtypeStruct((n_b,), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_b), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_b), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_a,), jnp.float32),
-            pltpu.VMEM((tile_a,), jnp.float32),
-            pltpu.VMEM((tile_a,), jnp.int32),
-            pltpu.VMEM((tile_a,), jnp.int32),
+            pltpu.VMEM((tile_a, 1), jnp.float32),
+            pltpu.VMEM((tile_a, 1), jnp.float32),
+            pltpu.VMEM((tile_a, 1), jnp.int32),
+            pltpu.VMEM((tile_a, 1), jnp.int32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(desc_a, desc_b)
+    )(desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2)
+    return row_d, row_i, col_d[0, :], col_i[0, :]
 
 
 # ---------------------------------------------------------------------------

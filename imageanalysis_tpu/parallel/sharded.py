@@ -1,0 +1,187 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+The reference is single-process/single-thread (SURVEY.md §2f: no
+multiprocessing, MPI, or NCCL anywhere); its scale story is work-list
+windowing and LRU caches. The TPU-native substitution (SURVEY.md §5):
+
+- **pair matching is data-parallel over pairs**: the batched matcher's pair
+  axis is sharded over the ``dp`` mesh axis — each chip matches its own
+  pairs, zero communication;
+- **bundle adjustment is data-parallel over observations**: the observation
+  arrays shard over ``dp`` while cameras/points stay replicated; every
+  ``segment_sum`` in the Schur matvec becomes a local partial sum + psum over
+  ICI, which XLA's SPMD partitioner inserts automatically from the sharding
+  annotations. The CG state (n_cam × 7) is replicated — tiny — so the only
+  collective per matvec is the (n_cam·7 + n_pt·3)-sized reductions.
+
+Multi-host missions extend the same mesh over DCN via jax.distributed; the
+code here is mesh-shape-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ba import bundle
+
+
+def make_mesh(devices=None, axis="dp") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def pad_observations(obs: bundle.BAObservations, multiple: int):
+    """Pad the observation axis to a multiple (weight-0 rows are inert)."""
+    n = obs.uv.shape[0]
+    n_pad = ((n + multiple - 1) // multiple) * multiple
+    if n_pad == n:
+        return obs
+    extra = n_pad - n
+    return bundle.BAObservations(
+        cam_idx=np.concatenate([np.asarray(obs.cam_idx), np.zeros(extra, np.int32)]),
+        pt_idx=np.concatenate([np.asarray(obs.pt_idx), np.zeros(extra, np.int32)]),
+        uv=np.concatenate([np.asarray(obs.uv), np.zeros((extra, 2), np.float32)]),
+        weight=np.concatenate([np.asarray(obs.weight), np.zeros(extra, np.float32)]),
+    )
+
+
+def shard_observations(obs: bundle.BAObservations, mesh: Mesh, axis="dp"):
+    """Pad + place observation arrays sharded over the mesh axis."""
+    obs = pad_observations(obs, mesh.devices.size)
+    sh = NamedSharding(mesh, P(axis))
+    return bundle.BAObservations(
+        cam_idx=jax.device_put(jnp.asarray(obs.cam_idx), sh),
+        pt_idx=jax.device_put(jnp.asarray(obs.pt_idx), sh),
+        uv=jax.device_put(jnp.asarray(obs.uv), sh),
+        weight=jax.device_put(jnp.asarray(obs.weight), sh),
+    )
+
+
+def sharded_lm_step(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3):
+    """Jit the BA step with observations sharded over the mesh: XLA SPMD
+    turns the segment_sums into local reductions + psum over ICI.
+
+    Returns step(cams, pts, obs, K, dist, lam) — problem sizes come from the
+    array shapes (pjit forbids kwargs with explicit shardings)."""
+    obs_sh = bundle.BAObservations(
+        cam_idx=NamedSharding(mesh, P(axis)),
+        pt_idx=NamedSharding(mesh, P(axis)),
+        uv=NamedSharding(mesh, P(axis)),
+        weight=NamedSharding(mesh, P(axis)),
+    )
+    rep = NamedSharding(mesh, P())
+
+    def impl(cams, pts, obs, K, dist, lam):
+        return bundle.lm_step_impl(cams, pts, obs, K, dist, lam,
+                                   cams.shape[0], pts.shape[0],
+                                   cg_iters=cg_iters, cg_tol=cg_tol)
+
+    return jax.jit(
+        impl,
+        in_shardings=(rep, rep, obs_sh, rep, rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+
+
+def solve_sharded(cams0, pts0, obs, K, dist, mesh: Mesh,
+                  config: bundle.BAConfig = bundle.BAConfig(), verbose=True,
+                  log_fn=print):
+    """bundle.solve with the inner step sharded over a device mesh."""
+    step = sharded_lm_step(mesh, cg_iters=config.cg_iters, cg_tol=config.cg_tol)
+    obs_dev = shard_observations(obs, mesh)
+    rep = NamedSharding(mesh, P())
+    cost_fn = jax.jit(
+        lambda c, p, o, K_, d_: bundle.ba_cost(c, p, o, K_, d_),
+        in_shardings=(rep, rep, bundle.BAObservations(
+            cam_idx=NamedSharding(mesh, P("dp")),
+            pt_idx=NamedSharding(mesh, P("dp")),
+            uv=NamedSharding(mesh, P("dp")),
+            weight=NamedSharding(mesh, P("dp"))), rep, rep),
+        out_shardings=(rep, rep, rep),
+    )
+    return _solve_loop(cams0, pts0, obs_dev, K, dist, config, step, cost_fn,
+                       verbose, log_fn)
+
+
+def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
+                log_fn):
+    """The LM outer loop shared by single- and multi-chip paths (mirrors
+    bundle.solve; kept separate so the sharded step/cost are injected)."""
+    cams = jnp.asarray(cams0, dtype=jnp.float32)
+    pts = jnp.asarray(pts0, dtype=jnp.float32)
+    n_cam, n_pt = cams.shape[0], pts.shape[0]
+    ned0 = cams[:, :3]
+    lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
+    hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
+
+    del n_cam, n_pt  # sizes travel via shapes
+    lam = config.lam0
+    cost, mre, mx = cost_fn(cams, pts, obs, K, dist)
+    cost = float(cost)
+    history = [cost]
+    if verbose:
+        log_fn(f"BA start: cost={cost:.4g} mre={float(mre):.3f}px max={float(mx):.2f}px")
+    it = 0
+    for it in range(config.max_iters):
+        accepted = False
+        for _ in range(config.max_retries):
+            dc, dp, _ = step_fn(cams, pts, obs, K, dist, jnp.float32(lam))
+            cams_new = cams + dc
+            ned = jnp.clip(cams_new[:, :3], lo, hi)
+            q = cams_new[:, 3:7]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            cams_new = jnp.concatenate([ned, q], axis=1)
+            pts_new = pts + dp
+            new_cost, new_mre, new_mx = cost_fn(cams_new, pts_new, obs, K, dist)
+            new_cost = float(new_cost)
+            if np.isfinite(new_cost) and new_cost < cost:
+                cams, pts = cams_new, pts_new
+                rel = 1.0 - new_cost / cost
+                cost = new_cost
+                lam = max(lam / config.lam_down, 1e-9)
+                accepted = True
+                if verbose:
+                    log_fn(f"  iter {it}: mre={float(new_mre):.3f}px "
+                           f"max={float(new_mx):.2f}px cost={cost:.4g} lam={lam:.1e}")
+                history.append(cost)
+                if rel < config.ftol:
+                    accepted = "converged"
+                break
+            lam = min(lam * config.lam_up, 1e6)
+        if accepted == "converged" or not accepted:
+            break
+    _, mre, _ = cost_fn(cams, pts, obs, K, dist)
+    return bundle.BAResult(np.asarray(cams), np.asarray(pts), float(mre),
+                           it + 1, history)
+
+
+# ---------------------------------------------------------------------------
+# Sharded pair matching
+# ---------------------------------------------------------------------------
+
+def sharded_match_pair_batch(mesh: Mesh, axis="dp", **static_kwargs):
+    """The batched matcher with its pair axis sharded over the mesh: each
+    chip matches batch_size/n_devices pairs, no communication."""
+    from ..match.matcher import match_pair_batch
+
+    pair_sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    inner = match_pair_batch.__wrapped__  # unjitted impl
+
+    def fn(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K, ratio=0.75,
+           thresh=3.0):
+        return inner(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
+                     ratio=ratio, thresh=thresh, **static_kwargs)
+
+    return jax.jit(
+        fn,
+        in_shardings=(pair_sh, pair_sh, pair_sh, pair_sh, pair_sh, pair_sh,
+                      pair_sh, rep),
+        out_shardings=(pair_sh, pair_sh),
+    )

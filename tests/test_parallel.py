@@ -1,0 +1,70 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from imageanalysis_tpu.ba import bundle
+from imageanalysis_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def problem():
+    import tests.test_ba as tb
+
+    rng = np.random.default_rng(5)
+    return tb.synth_problem(rng, n_cam=9, n_pt=200), tb.K, tb.DIST
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_ba_matches_single(problem):
+    (cams_true, pts_true, cams0, pts0, obs), K, DIST = problem
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    r1 = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
+                      bundle.BAConfig(max_iters=8), verbose=False)
+    r2 = sharded.solve_sharded(cams0, pts0, obs, jnp.asarray(K),
+                               jnp.asarray(DIST), mesh,
+                               bundle.BAConfig(max_iters=8), verbose=False)
+    # same algorithm, different reduction order — solutions agree to ~cm
+    np.testing.assert_allclose(r1.cams[:, :3], r2.cams[:, :3], atol=0.05)
+    np.testing.assert_allclose(r1.mre, r2.mre, rtol=0.05)
+
+
+def test_sharded_matching_matches_single(problem):
+    from imageanalysis_tpu.match.matcher import match_pair_batch
+
+    rng = np.random.default_rng(1)
+    B, npad, d = 8, 256, 64
+    desc_a = rng.uniform(0, 360, (B, npad, d)).astype(np.float32)
+    desc_b = rng.uniform(0, 360, (B, npad, d)).astype(np.float32)
+    desc_b[:, :100] = desc_a[:, :100] + rng.normal(0, 2, (B, 100, d))
+    uv_a = rng.uniform(0, 1000, (B, npad, 2)).astype(np.float32)
+    uv_b = (uv_a + rng.normal(0, 0.5, uv_a.shape)).astype(np.float32)
+    n_a = np.full(B, 200, np.int32)
+    n_b = np.full(B, 200, np.int32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    K = jnp.asarray(np.array([[1000.0, 0, 500], [0, 1000.0, 500], [0, 0, 1]],
+                             np.float32))
+    args = (jnp.asarray(desc_a), jnp.asarray(desc_b), jnp.asarray(uv_a),
+            jnp.asarray(uv_b), jnp.asarray(n_a), jnp.asarray(n_b), keys, K)
+    single = match_pair_batch(*args, transform="homography", n_hyp=64,
+                              use_pallas=False, bf16=False)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    fn = sharded.sharded_match_pair_batch(mesh, transform="homography",
+                                          n_hyp=64, use_pallas=False, bf16=False)
+    multi = fn(*args)
+    np.testing.assert_array_equal(np.asarray(single[0]), np.asarray(multi[0]))
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(multi[1]))
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out[0]).shape[0] == 4
+    ge.dryrun_multichip(8)
