@@ -112,6 +112,15 @@ def run(args) -> int:
         proj.load_images_info()
         proj.compute_ned_reference_lla()
         pose_mod.compute_camera_poses(proj)
+        # terrain elevation prior under each camera (reference process.py:218
+        # srtm.initialize + smart.update_srtm_elevations)
+        from ..match.smart import SmartState
+        from ..surface import srtm as srtm_mod
+        terrain = srtm_mod.project_terrain(
+            proj, fallback_elev=args.ground if args.ground is not None else None)
+        smart_state = SmartState(proj.analysis_dir)
+        smart_state.update_srtm_elevations(proj, terrain)
+        smart_state.save()
         proj.save()
         proj.state.update("STEP2")
     else:
@@ -133,7 +142,9 @@ def run(args) -> int:
         mcfg = MatchConfig(strategy=args.match_strategy, ratio=args.match_ratio,
                            transform=args.filter, batch_size=args.batch_size)
         proj.config.node("matcher").set("min_chain_len", args.min_chain_len)
-        find_matches(proj, mcfg)
+        from ..match.smart import SmartState
+        smart_state = SmartState(proj.analysis_dir)
+        find_matches(proj, mcfg, smart_state=smart_state)
         proj.save()
         proj.state.update("STEP3a")
 
@@ -153,13 +164,21 @@ def run(args) -> int:
     if not proj.state.check("STEP3c"):
         log("Step 3c: initial triangulation")
         matches = proj.load_matches_grouped()
-        ref = proj.ned_reference_lla()
         if args.ground is not None:
             base = lambda image: args.ground
         else:
+            from ..match.smart import SmartState
             from ..surface import srtm
             terrain = srtm.project_terrain(proj)
-            base = terrain.base_elevation
+            smart_state = SmartState(proj.analysis_dir)
+            # prefer the triangulated smart surface, fall back to SRTM
+            # (reference match_cleanup.py:310-321)
+
+            def base(image, _s=smart_state, _t=terrain):
+                n = _s.node(image.name)
+                if "tri_surface_m" in n:
+                    return n["tri_surface_m"]
+                return _t.base_elevation(image)
         cleanup.triangulate_ground(proj, matches, get_base_elev=base)
         proj.save_matches_grouped(matches)
         proj.state.update("STEP3c")

@@ -83,7 +83,7 @@ def write_back(proj, matches, result, cam_names, match_map):
         ned = result.cams[ci, :3].tolist()
         quat = result.cams[ci, 3:7]
         y, p, r = (float(a) * r2d for a in ypr_from_quat(quat))
-        im.set_camera_pose(ned, y, p, r, opt=True)
+        im.set_camera_pose(ned, y, p, r, opt=True, quat=np.asarray(quat))
         im.save_meta()
     for k, mi in enumerate(match_map):
         matches[mi][0] = result.pts[k].tolist()

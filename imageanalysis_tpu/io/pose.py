@@ -101,7 +101,7 @@ def compute_camera_poses(proj: ProjectMgr):
         ned = geodesy.lla2ned(n.get("lat_deg"), n.get("lon_deg"), n.get("alt_m"),
                               ref[0], ref[1], ref[2])
         image.set_camera_pose(list(np.asarray(ned).ravel()), yaw * R2D,
-                              pitch * R2D, roll * R2D)
+                              pitch * R2D, roll * R2D, quat=ned2cam)
         image.save_meta()
 
 

@@ -76,8 +76,16 @@ class ImageRecord:
         if flight_time > 0.0:
             self.node.set("flight_time", float(flight_time))
 
-    def set_camera_pose(self, ned, yaw_deg, pitch_deg, roll_deg, opt=False):
-        quat = np.asarray(quat_from_ypr(yaw_deg * D2R, pitch_deg * D2R, roll_deg * D2R))
+    def set_camera_pose(self, ned, yaw_deg, pitch_deg, roll_deg, opt=False,
+                        quat=None):
+        """Store a camera pose. Pass ``quat`` explicitly whenever you have
+        one: reconstructing it from ypr is singular at pitch ±90° (gimbal
+        lock) and silently corrupts near-nadir attitudes — the reference
+        does exactly that round trip (image.py:462-481 via pose.py:147-152)
+        and survives only because real gimbals are never at exactly −90°."""
+        if quat is None:
+            quat = np.asarray(quat_from_ypr(yaw_deg * D2R, pitch_deg * D2R,
+                                            roll_deg * D2R))
         n = self.node.node("camera_pose_opt" if opt else "camera_pose")
         if opt:
             n.set("valid", True)

@@ -188,9 +188,14 @@ class BatchMatcher:
 
 
 def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
-                 sort=False, save_interval=300.0):
+                 sort=False, save_interval=300.0, smart_state=None):
     """Top-level Step 3a (reference matcher.py:852-1031): build the pair work
-    list, match every pair on device, save incrementally."""
+    list, match every pair on device, save incrementally.
+
+    When smart_state (match.smart.SmartState) is given, each matched pair
+    updates the surface/yaw priors, and pairs whose triangulated surface
+    stddev is ≥ 50 m are discarded as bad geometry (reference
+    matcher.py:996-1005)."""
     config = config or MatchConfig()
     poses = []
     for im in proj.image_list:
@@ -221,11 +226,30 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
     B = config.batch_size * 8
     total = 0
     for s in range(0, len(todo), B):
-        total += matcher.match_pairs(todo[s:s + B], progress=True)
+        chunk = todo[s:s + B]
+        total += matcher.match_pairs(chunk, progress=True)
+        if smart_state is not None:
+            from . import smart as smart_mod
+            for i, j in chunk:
+                i1, i2 = proj.image_list[i], proj.image_list[j]
+                if not i1.match_list.get(i2.name):
+                    continue
+                avg, std = smart_mod.update_pair(proj, smart_state, i1, i2)
+                if std is not None and std >= 50.0:
+                    log("Matches suspect, big surface std:", i1.name, i2.name,
+                        "%.1f" % std, "- discarding pair")
+                    i1.match_list[i2.name] = []
+                    i2.match_list[i1.name] = []
+                    i1.matches_clean = False
+                    i2.matches_clean = False
         if time.time() - last_save > save_interval:
             _save_all_matches(proj)
+            if smart_state is not None:
+                smart_state.save()
             last_save = time.time()
     _save_all_matches(proj)
+    if smart_state is not None:
+        smart_state.save()
     dt = time.time() - t0
     if todo:
         log(f"Matched {len(todo)} pairs in {dt:.1f}s "

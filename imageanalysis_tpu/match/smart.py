@@ -1,0 +1,224 @@
+""""Smart" priors: per-image surface elevation + yaw-error estimates.
+
+Reference smart.py: after each pair is matched, (a) triangulate the pair's
+matches and keep a distance²-weighted average ground elevation per image
+(``tri_surface_m``; pairs with stddev ≥ 25 m are distrusted), and (b) fit a
+2-D similarity between the matched uv sets, project image 2's center into
+image 1, and compare the implied course against the GPS ground course to
+estimate a per-image heading bias (``yaw_error``). Persisted to smart.json.
+
+These priors are what let the reference stitch missions "pix4d is unable to
+stitch" (README-DataSets.md): better ground elevations improve the
+projection seeding, and yaw corrections fix poses from ground-course-derived
+headings. Here the triangulation and similarity fits run batched on device;
+the bookkeeping matches the reference's smart.json schema
+(smart.py:194-339).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from math import atan2, pi
+
+import numpy as np
+
+from ..io.logger import log, qlog
+
+R2D = 180.0 / pi
+CUTOFF_STD = 25.0      # reference smart.py:221
+YAW_MAX = 30.0         # reference smart.py:276
+YAW_MIN_DIST = 0.5     # reference smart.py:276
+
+
+class SmartState:
+    """The /smart property tree (reference smart_node), as plain dicts."""
+
+    def __init__(self, analysis_dir: str):
+        self.analysis_dir = analysis_dir
+        self.data: dict = {}
+        self.load()
+
+    # -- persistence (smart.json contract) --------------------------------
+    def path(self):
+        return os.path.join(self.analysis_dir, "smart.json")
+
+    def load(self):
+        if os.path.isfile(self.path()):
+            with open(self.path()) as f:
+                self.data = json.load(f)
+
+    def save(self):
+        with open(self.path(), "w") as f:
+            json.dump(self.data, f, indent=4, sort_keys=True)
+
+    def node(self, image_name: str) -> dict:
+        return self.data.setdefault(image_name, {})
+
+    # -- surface ----------------------------------------------------------
+    def update_surface_pair(self, name1, name2, surface_m, stddev, dist_m):
+        """Record a pairwise triangulated elevation and refresh both images'
+        weighted ``tri_surface_m`` (reference update_surface_estimate)."""
+        weight = int(dist_m * dist_m)
+        for a, b in ((name1, name2), (name2, name1)):
+            pairs = self.node(a).setdefault("tri_surface_pairs", {})
+            pairs[b] = {"surface_m": round(float(surface_m), 1),
+                        "weight": weight,
+                        "stddev": round(float(stddev), 1),
+                        "dist_m": int(dist_m)}
+            self._refresh_surface(a)
+
+    def _refresh_surface(self, name):
+        pairs = self.node(name).get("tri_surface_pairs", {})
+        s = c = 0.0
+        for rec in pairs.values():
+            if rec["stddev"] < CUTOFF_STD:
+                s += rec["surface_m"] * rec["weight"]
+                c += rec["weight"]
+        if c > 0:
+            self.node(name)["tri_surface_m"] = round(s / c, 1)
+
+    def get_surface(self, name1, name2=None):
+        """Average triangulated elevation under the pair, SRTM fallback
+        (reference get_surface_estimate)."""
+        names = [name1] + ([name2] if name2 else [])
+        vals = [self.node(n)["tri_surface_m"] for n in names
+                if "tri_surface_m" in self.node(n)]
+        if vals:
+            return float(np.mean(vals))
+        srtm_vals = [self.node(n).get("srtm_surface_m", 0.0) for n in names]
+        ground = float(np.mean(srtm_vals))
+        qlog("  SRTM ground (no triangulation yet): %.1f" % ground)
+        return ground
+
+    # -- yaw error --------------------------------------------------------
+    def update_yaw_pair(self, name1, name2, yaw_error, dist_m, crs_aff, weight):
+        yaw_pairs = self.node(name1).setdefault("yaw_pairs", {})
+        yaw_pairs[name2] = {"yaw_error": round(float(yaw_error), 1),
+                            "dist_m": round(float(dist_m), 1),
+                            "relative_crs": round(float(crs_aff), 1),
+                            "weight": round(float(weight), 1)}
+        s = c = 0.0
+        for rec in yaw_pairs.values():
+            if rec["dist_m"] >= YAW_MIN_DIST and abs(rec["yaw_error"]) <= YAW_MAX:
+                s += rec["yaw_error"] * rec["weight"]
+                c += rec["weight"]
+        if c > 0:
+            self.node(name1)["yaw_error"] = round(s / c, 1)
+            return s / c
+        return 0.0
+
+    def get_yaw_error(self, name):
+        return float(self.node(name).get("yaw_error", 0.0))
+
+    def update_srtm_elevations(self, proj, terrain):
+        """srtm_surface_m under each camera (reference smart.py:319-326)."""
+        for image in proj.image_list:
+            ned, _, _ = image.get_camera_pose()
+            self.node(image.name)["srtm_surface_m"] = round(
+                float(terrain.ned_interp([ned[0], ned[1]])), 1)
+
+
+# ---------------------------------------------------------------------------
+# batched pair estimators
+# ---------------------------------------------------------------------------
+
+def triangulate_pair(proj, i1, i2):
+    """Triangulate one pair's matches with current poses → (N, 3) NED
+    (reference smart.py:26-63; cv2.triangulatePoints on K⁻¹-normalized uv)."""
+    import jax.numpy as jnp
+
+    from ..core.camera import ned_quat_to_rt, pixels_to_normalized
+    from ..ops.triangulate import triangulate_two_view
+
+    pairs = i1.match_list.get(i2.name, [])
+    if not pairs:
+        return None
+    if i1.kp is None:
+        i1.load_features()
+    if i2.kp is None:
+        i2.load_features()
+    model = proj.camera_model()
+    uv1 = np.array([i1.kp[a] for a, _ in pairs], np.float32)
+    uv2 = np.array([i2.kp[b] for _, b in pairs], np.float32)
+    ned1, _, q1 = i1.get_camera_pose()
+    ned2, _, q2 = i2.get_camera_pose()
+    R1, t1 = ned_quat_to_rt(jnp.asarray(ned1, dtype=jnp.float32),
+                            jnp.asarray(q1, dtype=jnp.float32))
+    R2, t2 = ned_quat_to_rt(jnp.asarray(ned2, dtype=jnp.float32),
+                            jnp.asarray(q2, dtype=jnp.float32))
+    P1 = jnp.concatenate([R1, t1[:, None]], axis=1)
+    P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
+    n1 = pixels_to_normalized(jnp.asarray(uv1), model.K)
+    n2 = pixels_to_normalized(jnp.asarray(uv2), model.K)
+    pts = triangulate_two_view(P1, P2, n1, n2)
+    return np.asarray(pts)
+
+
+def estimate_surface_elevation(proj, i1, i2):
+    """(avg_elev_m, std, baseline_m) for a pair (reference smart.py:117-130).
+    Elevation is −down of the triangulated points."""
+    pts = triangulate_pair(proj, i1, i2)
+    ned1, _, _ = i1.get_camera_pose()
+    ned2, _, _ = i2.get_camera_pose()
+    dist_m = float(np.linalg.norm(np.asarray(ned2) - np.asarray(ned1)))
+    if pts is None:
+        return None, None, dist_m
+    return float(-np.mean(pts[:, 2])), float(np.std(pts[:, 2])), dist_m
+
+
+def estimate_yaw_error(proj, i1, i2):
+    """(yaw_error_deg, dist_m, crs_aff, weight) (reference smart.py:138-190)."""
+    import jax.numpy as jnp
+
+    from ..core.transforms import decompose_affine_2d, fit_similarity_2d
+
+    pairs = i1.match_list.get(i2.name, [])
+    if len(pairs) < 2:
+        return None
+    if i1.kp is None:
+        i1.load_features()
+    if i2.kp is None:
+        i2.load_features()
+    uv1 = np.array([i1.kp[a] for a, _ in pairs], np.float32)
+    uv2 = np.array([i2.kp[b] for _, b in pairs], np.float32)
+    A = np.asarray(fit_similarity_2d(jnp.asarray(uv2), jnp.asarray(uv1)))
+    _, tx, ty, _, _ = (float(x) for x in decompose_affine_2d(jnp.asarray(A)))
+    weight = abs(ty / tx) if abs(ty) > 0 and tx != 0 else abs(tx)
+
+    ned1, _, _ = i1.get_camera_pose()
+    ned2, _, _ = i2.get_camera_pose()
+    diff = np.asarray(ned2) - np.asarray(ned1)
+    dist = float(np.linalg.norm(diff))
+    if dist < 1e-6:
+        return None
+    dirv = diff / dist
+    crs_gps = 90 - atan2(dirv[0], dirv[1]) * R2D
+    crs_gps %= 360
+
+    w = int(proj.camera.get("width_px", 0))
+    h = int(proj.camera.get("height_px", 0))
+    c = np.array([w * 0.5, h * 0.5, 1.0])
+    newc = A @ c
+    cdiff = [newc[0] - c[0], c[1] - newc[1]]
+    crs_aff = 90 - atan2(cdiff[1], cdiff[0]) * R2D
+    _, air_ypr1, _ = i1.get_aircraft_pose()
+    crs_fit = air_ypr1[0] + crs_aff
+    yaw_error = crs_gps - crs_fit
+    while yaw_error < -180:
+        yaw_error += 360
+    while yaw_error > 180:
+        yaw_error -= 360
+    return yaw_error, dist, crs_aff, weight
+
+
+def update_pair(proj, smart: SmartState, i1, i2):
+    """Run both estimators for a freshly matched pair and record them
+    (reference matcher.py:986-993 call sites)."""
+    avg, std, dist_m = estimate_surface_elevation(proj, i1, i2)
+    if avg is not None:
+        smart.update_surface_pair(i1.name, i2.name, avg, std, dist_m)
+    res = estimate_yaw_error(proj, i1, i2)
+    if res is not None:
+        smart.update_yaw_pair(i1.name, i2.name, *res)
+    return avg, std

@@ -119,6 +119,37 @@ def test_triangulated_points_on_ground(processed):
     assert abs(np.median(ned[:, 2])) < 3.0
 
 
+def test_step5_render_outputs(processed):
+    m = processed
+    models = os.path.join(m.project_dir, "ImageAnalysis", "models")
+    assert os.path.isfile(os.path.join(models, "surface.bin"))
+    assert os.path.isfile(os.path.join(models, "dummy.jpg"))
+    eggs = [f for f in os.listdir(models) if f.endswith(".egg")]
+    texs = [f for f in os.listdir(models) if f.endswith(".JPG")]
+    assert len(eggs) >= m.n_images - 1
+    assert len(texs) == m.n_images
+    with open(os.path.join(models, "surface.bin"), "rb") as f:
+        surf = pickle.load(f)
+    assert set(surf) == {"points", "values"}
+    assert len(surf["points"]) == len(surf["values"]) > 100
+    # egg sanity: vertex pool + polygons present
+    with open(os.path.join(models, eggs[0])) as f:
+        egg = f.read()
+    assert "<VertexPool> surface" in egg and "<Polygon>" in egg
+
+
+def test_smart_json(processed):
+    m = processed
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    with open(os.path.join(ia, "smart.json")) as f:
+        smart = json.load(f)
+    rec = smart["IMG_0000"]
+    assert "srtm_surface_m" in rec
+    assert "tri_surface_pairs" in rec
+    # flat synthetic ground at 0 elevation; triangulated estimate near 0
+    assert abs(rec["tri_surface_m"]) < 5.0
+
+
 def test_pipeline_resume_is_noop(processed, capsys):
     """Re-running process must skip all completed stages via state gating."""
     from imageanalysis_tpu.apps import process

@@ -1,0 +1,134 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_gms_filter_keeps_coherent(rng):
+    """Coherent motion survives GMS; scattered false matches die."""
+    from imageanalysis_tpu.ops.gms import gms_filter
+
+    n_good, n_bad, npad = 600, 120, 1024
+    uv_a = np.zeros((npad, 2), np.float32)
+    uv_b = np.zeros((npad, 2), np.float32)
+    valid = np.zeros(npad, bool)
+    # coherent cluster: smooth translation field
+    uv_a[:n_good] = rng.uniform([0, 0], [2000, 1500], (n_good, 2))
+    uv_b[:n_good] = uv_a[:n_good] + np.array([120.0, -60.0]) \
+        + rng.normal(0, 2, (n_good, 2))
+    # scattered garbage
+    uv_a[n_good:n_good + n_bad] = rng.uniform([0, 0], [2000, 1500], (n_bad, 2))
+    uv_b[n_good:n_good + n_bad] = rng.uniform([0, 0], [2000, 1500], (n_bad, 2))
+    valid[:n_good + n_bad] = True
+    keep = np.asarray(gms_filter(jnp.asarray(uv_a), jnp.asarray(uv_b),
+                                 jnp.asarray(valid),
+                                 jnp.asarray([2000.0, 1500.0]),
+                                 jnp.asarray([2000.0, 1500.0])))
+    assert keep[:n_good].mean() > 0.85
+    assert keep[n_good:n_good + n_bad].mean() < 0.25
+    assert not keep[n_good + n_bad:].any()
+
+
+def test_cull_delete_marked():
+    from imageanalysis_tpu.apps import cull
+
+    matches = [
+        [[0, 0, 0], -1, [0, [1, 1]], [1, [2, 2]], [2, [3, 3]], [3, [4, 4]]],
+        [[0, 0, 0], -1, [0, [5, 5]], [1, [6, 6]], [2, [7, 7]]],
+        [[0, 0, 0], -1, [0, [8, 8]], [1, [9, 9]], [2, [1, 2]]],
+    ]
+    # drop one obs from chain 0 (survives), one from chain 1 (falls below 3)
+    out = cull.delete_marked(matches, [(0, 1), (1, 0)], min_chain_len=3)
+    assert len(out) == 2
+    assert len(out[0]) == 2 + 3
+    assert out[1] is matches[2]
+    out2 = cull.delete_marked(matches, [(0, 1)], strong=True)
+    assert len(out2) == 2
+
+
+def test_cull_remove_camera():
+    from imageanalysis_tpu.apps import cull
+
+    matches = [
+        [[0, 0, 0], -1, [0, [1, 1]], [1, [2, 2]], [2, [3, 3]], [3, [4, 4]]],
+        [[0, 0, 0], -1, [0, [5, 5]], [1, [6, 6]], [2, [7, 7]]],
+    ]
+    out = cull.remove_camera_matches(matches, 1, min_chain_len=3)
+    assert len(out) == 1
+    assert all(o[0] != 1 for o in out[0][2:])
+
+
+def test_smart_state_surface_and_yaw(tmp_path):
+    from imageanalysis_tpu.match.smart import SmartState
+
+    s = SmartState(str(tmp_path))
+    s.update_surface_pair("a", "b", 102.0, 3.0, 20.0)
+    s.update_surface_pair("a", "c", 98.0, 2.0, 20.0)
+    s.update_surface_pair("a", "d", 400.0, 80.0, 20.0)  # distrusted (std>25)
+    assert abs(s.node("a")["tri_surface_m"] - 100.0) < 0.2
+    assert s.get_surface("a", "b") == pytest.approx(
+        (s.node("a")["tri_surface_m"] + s.node("b")["tri_surface_m"]) / 2)
+    s.update_yaw_pair("a", "b", 5.0, 10.0, 45.0, 2.0)
+    s.update_yaw_pair("a", "c", 3.0, 10.0, 45.0, 2.0)
+    s.update_yaw_pair("a", "d", 170.0, 10.0, 45.0, 2.0)  # rejected (>30°)
+    assert s.get_yaw_error("a") == pytest.approx(4.0, abs=0.1)
+    s.save()
+    s2 = SmartState(str(tmp_path))
+    assert s2.get_yaw_error("a") == pytest.approx(4.0, abs=0.1)
+
+
+def test_smart_estimators_on_synthetic(rng):
+    """Surface elevation estimate from a planted two-view scene."""
+    from imageanalysis_tpu.core import camera as cam, rotations as rot
+    from imageanalysis_tpu.match import smart as smart_mod
+
+    K = np.array([[1500.0, 0, 1000], [0, 1500.0, 750], [0, 0, 1]], np.float32)
+
+    class FakeImage:
+        def __init__(self, name, ned, quat, kp):
+            self.name = name
+            self._ned = ned
+            self._quat = quat
+            self.kp = kp
+            self.match_list = {}
+
+        def get_camera_pose(self, opt=False):
+            return list(self._ned), None, list(self._quat)
+
+        def get_aircraft_pose(self):
+            return None, [0.0, 0, 0], None
+
+        def load_features(self):
+            pass
+
+    class FakeProj:
+        class _Cam(dict):
+            def get(self, k, d=None):
+                return {"width_px": 2000, "height_px": 1500}.get(k, d)
+        camera = _Cam()
+
+        def camera_model(self, optimized=False):
+            return cam.CameraModel(K=jnp.asarray(K), dist=jnp.zeros(5))
+
+    # ground at elevation +30 m (down = -30)
+    pts = np.c_[rng.uniform(-40, 40, (200, 2)),
+                np.full((200, 1), -30.0)].astype(np.float32)
+    q = rot.quat_from_ypr(0.0, np.radians(-90.0), 0.0)
+    ned1 = np.array([0.0, 0, -130.0])
+    ned2 = np.array([20.0, 5, -128.0])
+    uvs = []
+    for ned in (ned1, ned2):
+        R, t = cam.ned_quat_to_rt(jnp.asarray(ned, dtype=jnp.float32),
+                                  jnp.asarray(q, dtype=jnp.float32))
+        uv, _ = cam.project_points(jnp.asarray(pts), R, t, jnp.asarray(K),
+                                   jnp.zeros(5))
+        uvs.append(np.asarray(uv).astype(np.float32))
+    i1 = FakeImage("i1", ned1, np.asarray(q), uvs[0])
+    i2 = FakeImage("i2", ned2, np.asarray(q), uvs[1])
+    i1.match_list["i2"] = [[k, k] for k in range(200)]
+    avg, std, dist = smart_mod.estimate_surface_elevation(FakeProj(), i1, i2)
+    assert abs(avg - 30.0) < 1.0
+    assert std < 2.0
+    assert abs(dist - np.linalg.norm(ned2 - ned1)) < 1e-3
