@@ -1,0 +1,81 @@
+"""TPU SIFT detector: repeatability + downstream matchability.
+
+Parity with OpenCV is judged by downstream match-graph quality (SURVEY.md
+§7 "hard parts"), not bit-exact descriptors: detect on an image pair related
+by a known homography, match our descriptors, and verify the matches obey
+the homography.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from imageanalysis_tpu.features import sift_tpu
+from imageanalysis_tpu.ops import knn
+
+
+@pytest.fixture(scope="module")
+def image_pair():
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, (1400, 1800)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 2.5)
+    for s in (8, 24):
+        coarse = cv2.resize(
+            rng.uniform(0, 255, (1400 // s, 1800 // s)).astype(np.float32),
+            (1800, 1400), interpolation=cv2.INTER_CUBIC)
+        base += coarse
+    base = cv2.normalize(base, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+    H = np.array([[0.98, 0.06, -150.0], [-0.05, 1.01, -80.0],
+                  [1e-6, -2e-6, 1.0]])
+    img1 = base[:1000, :1200]
+    img2 = cv2.warpPerspective(base, H, (1200, 1000))
+    return img1, img2, H
+
+
+def test_detect_basic(image_pair):
+    img1, _, _ = image_pair
+    kp, meta, desc = sift_tpu.detect_and_compute(img1, max_features=2048)
+    assert len(kp) > 500
+    assert desc.shape[1] == 128
+    assert np.isfinite(desc).all()
+    # descriptors in cv2's 0..255-ish range, non-degenerate
+    assert 0 <= desc.min() and desc.max() <= 255.0
+    assert desc.std() > 5.0
+    # keypoints inside the image
+    assert (kp[:, 0] >= 0).all() and (kp[:, 0] < img1.shape[1]).all()
+    assert (kp[:, 1] >= 0).all() and (kp[:, 1] < img1.shape[0]).all()
+
+
+def test_match_across_homography(image_pair):
+    img1, img2, H = image_pair
+    kp1, _, d1 = sift_tpu.detect_and_compute(img1, max_features=2048)
+    kp2, _, d2 = sift_tpu.detect_and_compute(img2, max_features=2048)
+    npad = 4096
+    pa = knn.pad_descriptors(jnp.asarray(d1), npad)
+    pb = knn.pad_descriptors(jnp.asarray(d2), npad)
+    best_j, ok = knn.match_pair_dense(pa, pb, len(kp1), len(kp2),
+                                      ratio=0.8, bf16=False)
+    ok = np.asarray(ok)
+    best_j = np.asarray(best_j)
+    ia = np.nonzero(ok)[0]
+    assert len(ia) > 150, f"only {len(ia)} raw matches"
+    uv1 = kp1[ia]
+    uv2 = kp2[best_j[ia]]
+    # verify against the true homography
+    ph = np.c_[uv1, np.ones(len(uv1))] @ H.T
+    pred = ph[:, :2] / ph[:, 2:3]
+    err = np.linalg.norm(pred - uv2, axis=1)
+    inlier_frac = (err < 3.0).mean()
+    assert inlier_frac > 0.7, f"homography inlier fraction {inlier_frac:.2f}"
+
+
+def test_batch_matches_single(image_pair):
+    img1, _, _ = image_pair
+    small = img1[:512, :512]
+    kp_b, meta_b, desc_b, valid_b = sift_tpu.detect_and_compute_batch(
+        np.stack([small, small]), max_features=1024)
+    np.testing.assert_array_equal(valid_b[0], valid_b[1])
+    np.testing.assert_allclose(kp_b[0][valid_b[0]], kp_b[1][valid_b[1]],
+                               atol=1e-5)
