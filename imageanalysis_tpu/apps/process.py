@@ -57,6 +57,10 @@ def build_parser():
     p.add_argument("--refresh", action="append", default=[],
                    help="redo a stage (STEP1..STEP5)")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--geotiff", action="store_true",
+                   help="also composite an orthomosaic GeoTIFF in Step 5")
+    p.add_argument("--geotiff-res", type=float, default=0.25,
+                   help="orthomosaic resolution (m/px)")
     return p
 
 
@@ -223,14 +227,17 @@ def run(args) -> int:
     # ---- Step 5: render (process.py:411-420) ----------------------------
     if not proj.state.check("STEP5"):
         log("Step 5: building surface/render outputs")
-        try:
-            from ..render import build_map
-            grps = groups_mod.load(proj.analysis_dir)
-            matches = proj.load_matches_grouped()
-            build_map.build(proj, matches, grps, group_index=args.group)
-            proj.state.update("STEP5")
-        except ImportError:
-            log("render module not available yet; skipping Step 5")
+        from ..render import build_map
+        grps = groups_mod.load(proj.analysis_dir)
+        matches = proj.load_matches_grouped()
+        build_map.build(proj, matches, grps, group_index=args.group)
+        if args.geotiff:
+            from ..render import geotiff
+            group_imgs = grps[args.group] if grps else None
+            geotiff.build_geotiff(proj, group_imgs,
+                                  resolution=args.geotiff_res,
+                                  ground=args.ground or 0.0)
+        proj.state.update("STEP5")
     log("Pipeline complete.")
     return 0
 

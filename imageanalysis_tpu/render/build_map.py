@@ -177,6 +177,8 @@ def build(proj, matches, groups, group_index=0, ground=None,
 
     group_images = [im for im in proj.image_list if im.name in group_set]
     made = []
+    grids = {}
+    dist_uvs = {}
     for image in group_images:
         use_opt = image.has_opt_pose()
         ned, _, quat = image.get_camera_pose(opt=use_opt)
@@ -191,11 +193,20 @@ def build(proj, matches, groups, group_index=0, ground=None,
                             axis=1)           # [e, n, up]
         egg_path = os.path.join(proj.models_dir, image.name + ".egg")
         count = write_egg(egg_path, grid_xyz, dist_uv, width, height, grid_steps)
+        grids[image.name] = grid_xyz
+        dist_uvs[image.name] = dist_uv
         if count:
             made.append(image.name)
         else:
             log("Warning: no polygons fully on surface:", image.name)
 
     make_textures(proj, group_images, resolution=texture_resolution)
+
+    # AC3D outputs (reference 5b-delaunay5.py surface + ac3d.py model)
+    from . import ac3d
+    ac3d.write_surface_ac(os.path.join(proj.models_dir, "surface-global.ac"),
+                          raw_points, raw_values)
+    ac3d.generate_textured(proj, [im.name for im in group_images], grids,
+                           dist_uvs)
     log(f"build_map: wrote {len(made)} egg models + textures to {proj.models_dir}")
     return made

@@ -38,7 +38,8 @@ def processed(mission):
     rc = process.main([m.project_dir, "--camera", "Synthetic_TestCam_none",
                        "--camera-db", db_dir, "--scale", "1.0",
                        "--ground", "0.0", "--batch-size", "4",
-                       "--min-chain-len", "2"])
+                       "--min-chain-len", "2", "--geotiff",
+                       "--geotiff-res", "0.5"])
     assert rc == 0
     return m
 
@@ -136,6 +137,23 @@ def test_step5_render_outputs(processed):
     with open(os.path.join(models, eggs[0])) as f:
         egg = f.read()
     assert "<VertexPool> surface" in egg and "<Polygon>" in egg
+
+
+def test_geotiff_output(processed):
+    from PIL import Image
+
+    m = processed
+    models = os.path.join(m.project_dir, "ImageAnalysis", "models")
+    tif = os.path.join(models, "mosaic.tif")
+    assert os.path.isfile(tif)
+    with Image.open(tif) as im:
+        w, h = im.size
+        arr = np.asarray(im)
+    assert w > 100 and h > 100
+    assert arr.std() > 10  # actual imagery, not blank
+    assert os.path.isfile(os.path.join(models, "gdalscript.sh"))
+    assert os.path.isfile(os.path.join(models, "surface-global.ac"))
+    assert os.path.isfile(os.path.join(models, "direct.ac"))
 
 
 def test_smart_json(processed):
