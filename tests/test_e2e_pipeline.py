@@ -178,3 +178,22 @@ def test_pipeline_resume_is_noop(processed, capsys):
     out = capsys.readouterr().out
     assert "Step 3a" not in out
     assert "Pipeline complete" in out
+
+
+def test_explorer_headless_render(processed, tmp_path):
+    """The explorer renders the Step-5 models into a mosaic view."""
+    from imageanalysis_tpu.apps.explorer import Explorer
+
+    m = processed
+    ex = Explorer(m.project_dir)
+    out = str(tmp_path / "mosaic_view.png")
+    drawn = ex.render_to(out)
+    assert drawn >= m.n_images - 1
+    assert os.path.getsize(out) > 20000
+    # elevation queries against surface.bin work (flat ground near 0)
+    assert abs(ex.get_elevation(0.0, 0.0)) < 3.0
+    # annotation round trip through the explorer
+    ex.annotations.add_marker_ned([5.0, 5.0, 0.0], "test marker")
+    ex.annotations.save()
+    ia = os.path.join(m.project_dir, "ImageAnalysis")
+    assert os.path.isfile(os.path.join(ia, "annotations.json"))
