@@ -317,16 +317,30 @@ def detect_and_compute(gray: np.ndarray, max_features=4096):
     return kp[0][v], meta[0][v], desc[0][v]
 
 
-def detect_and_compute_batch(grays: np.ndarray, max_features=4096):
+def detect_and_compute_batch(grays: np.ndarray, max_features=4096,
+                             max_chunk=None):
     """Batched detection. grays: (B, H, W) uint8/float. Returns numpy
-    (kp, meta, desc, valid) padded to a static K."""
-    imgs = jnp.asarray(grays, dtype=jnp.float32)
+    (kp, meta, desc, valid) padded to a static K.
+
+    On TPU the device batch is chunked to 1 full-resolution image per call:
+    larger batches at ~3 MP trip an XLA:TPU backend INTERNAL error on this
+    runtime (CPU/interpret paths batch freely)."""
+    imgs = np.asarray(grays, dtype=np.float32)
     if imgs.ndim == 2:
         imgs = imgs[None]
-    imgs = imgs / 255.0
     H, W = imgs.shape[-2:]
+    if max_chunk is None:
+        import jax as _jax
+        on_tpu = _jax.default_backend() == "tpu"
+        max_chunk = 1 if (on_tpu and H * W > 1_500_000) else len(imgs)
     n_octaves = max(int(math.log2(min(H, W) / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
-    kp, meta, desc, valid = _detect_batch(imgs, per_octave, n_octaves)
-    return (np.asarray(kp), np.asarray(meta), np.asarray(desc),
-            np.asarray(valid))
+    outs = []
+    for s in range(0, len(imgs), max_chunk):
+        chunk = jnp.asarray(imgs[s:s + max_chunk]) / 255.0
+        outs.append(_detect_batch(chunk, per_octave, n_octaves))
+    kp = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+    meta = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
+    desc = np.concatenate([np.asarray(o[2]) for o in outs], axis=0)
+    valid = np.concatenate([np.asarray(o[3]) for o in outs], axis=0)
+    return kp, meta, desc, valid
