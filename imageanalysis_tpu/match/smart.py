@@ -123,6 +123,33 @@ class SmartState:
 # batched pair estimators
 # ---------------------------------------------------------------------------
 
+_tri_jit = None
+_fit_sim = None
+
+
+def _fit_sim_jit(a, b, w):
+    global _fit_sim
+    if _fit_sim is None:
+        import jax
+
+        from ..core.transforms import fit_similarity_2d
+
+        _fit_sim = jax.jit(fit_similarity_2d)
+    return _fit_sim(a, b, w)
+
+
+def _triangulate_jit(P1, P2, n1, n2):
+    global _tri_jit
+    if _tri_jit is None:
+        import jax
+
+        from ..ops.triangulate import triangulate_two_view
+
+        _tri_jit = jax.jit(triangulate_two_view,
+                           static_argnames=("gn_iters",))
+    return _tri_jit(P1, P2, n1, n2)
+
+
 def triangulate_pair(proj, i1, i2):
     """Triangulate one pair's matches with current poses → (N, 3) NED
     (reference smart.py:26-63; cv2.triangulatePoints on K⁻¹-normalized uv)."""
@@ -139,8 +166,14 @@ def triangulate_pair(proj, i1, i2):
     if i2.kp is None:
         i2.load_features()
     model = proj.camera_model()
-    uv1 = np.array([i1.kp[a] for a, _ in pairs], np.float32)
-    uv2 = np.array([i2.kp[b] for _, b in pairs], np.float32)
+    n = len(pairs)
+    # bucket the match count to a static shape — per-pair dynamic shapes
+    # would trigger a fresh XLA compile for every image pair
+    n_pad = max(256, 1 << (n - 1).bit_length())
+    uv1 = np.zeros((n_pad, 2), np.float32)
+    uv2 = np.zeros((n_pad, 2), np.float32)
+    uv1[:n] = [i1.kp[a] for a, _ in pairs]
+    uv2[:n] = [i2.kp[b] for _, b in pairs]
     ned1, _, q1 = i1.get_camera_pose()
     ned2, _, q2 = i2.get_camera_pose()
     R1, t1 = ned_quat_to_rt(jnp.asarray(ned1, dtype=jnp.float32),
@@ -151,8 +184,8 @@ def triangulate_pair(proj, i1, i2):
     P2 = jnp.concatenate([R2, t2[:, None]], axis=1)
     n1 = pixels_to_normalized(jnp.asarray(uv1), model.K)
     n2 = pixels_to_normalized(jnp.asarray(uv2), model.K)
-    pts = triangulate_two_view(P1, P2, n1, n2)
-    return np.asarray(pts)
+    pts = _triangulate_jit(P1, P2, n1, n2)
+    return np.asarray(pts)[:n]
 
 
 def estimate_surface_elevation(proj, i1, i2):
@@ -180,9 +213,17 @@ def estimate_yaw_error(proj, i1, i2):
         i1.load_features()
     if i2.kp is None:
         i2.load_features()
-    uv1 = np.array([i1.kp[a] for a, _ in pairs], np.float32)
-    uv2 = np.array([i2.kp[b] for _, b in pairs], np.float32)
-    A = np.asarray(fit_similarity_2d(jnp.asarray(uv2), jnp.asarray(uv1)))
+    # bucketed static shapes (weight-0 padding) — see triangulate_pair
+    n = len(pairs)
+    n_pad = max(256, 1 << (n - 1).bit_length())
+    uv1 = np.zeros((n_pad, 2), np.float32)
+    uv2 = np.zeros((n_pad, 2), np.float32)
+    w = np.zeros(n_pad, np.float32)
+    uv1[:n] = [i1.kp[a] for a, _ in pairs]
+    uv2[:n] = [i2.kp[b] for _, b in pairs]
+    w[:n] = 1.0
+    A = np.asarray(_fit_sim_jit(jnp.asarray(uv2), jnp.asarray(uv1),
+                                jnp.asarray(w)))
     _, tx, ty, _, _ = (float(x) for x in decompose_affine_2d(jnp.asarray(A)))
     weight = abs(ty / tx) if abs(ty) > 0 and tx != 0 else abs(tx)
 

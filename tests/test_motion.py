@@ -71,3 +71,33 @@ def test_sparse_lk_homography(rng):
     K = np.array([[400.0, 0, 200], [0, 400.0, 150], [0, 0, 1]])
     R, t, nrm = flow.decompose_homography(H1, K)
     assert abs(np.trace(R) - 3.0) < 0.05  # nearly pure translation
+
+
+def test_lens_distortion_recovery(rng):
+    """Planted k1 recovered from synthetic distorted flow tracks."""
+    import jax.numpy as jnp
+
+    from imageanalysis_tpu.core.camera import distort_normalized, \
+        normalized_to_pixels, pixels_to_normalized
+    from imageanalysis_tpu.motion import lens_distortion
+
+    K = np.array([[600.0, 0, 480], [0, 600.0, 360], [0, 0, 1]], np.float32)
+    k1_true = -0.22
+    dist = jnp.array([k1_true, 0.0, 0.0, 0.0, 0.0])
+    pairs = []
+    for _ in range(12):
+        # ideal points + a random similarity motion, then distort both views
+        pa_ideal = rng.uniform([-0.6, -0.45], [0.6, 0.45], (120, 2)).astype(
+            np.float32)
+        th = rng.normal(0, 0.05)
+        t = rng.normal(0, 0.05, 2)
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        pb_ideal = (pa_ideal @ R.T + t).astype(np.float32)
+        pa = normalized_to_pixels(distort_normalized(jnp.asarray(pa_ideal),
+                                                     dist), jnp.asarray(K))
+        pb = normalized_to_pixels(distort_normalized(jnp.asarray(pb_ideal),
+                                                     dist), jnp.asarray(K))
+        pairs.append((np.asarray(pa), np.asarray(pb)))
+    k1, k2, hist = lens_distortion.estimate_k1_k2(pairs, K, iters=250)
+    assert hist[-1] < hist[0] / 10
+    assert abs(k1 - k1_true) < 0.05, (k1, k2)
