@@ -213,8 +213,17 @@ def run(args) -> int:
             log("Not enough cameras in group to optimize")
             return 1
         model = proj.camera_model()
-        result = bundle.solve(cams0, pts0, obs, model.K, model.dist,
-                              bundle.BAConfig(), log_fn=log)
+        if args.cam_calibration:
+            from ..ba import calibrate
+            result, K_opt, dist_opt = calibrate.solve_with_calibration(
+                cams0, pts0, obs, model.K, model.dist, log_fn=log)
+            # persist as K_opt / dist_coeffs_opt (reference camera.py:78-113)
+            proj.camera.setlist("K_opt", np.asarray(K_opt).ravel())
+            proj.camera.setlist("dist_coeffs_opt", dist_opt)
+            proj.save()
+        else:
+            result = bundle.solve(cams0, pts0, obs, model.K, model.dist,
+                                  bundle.BAConfig(), log_fn=log)
         # re-register onto the GPS solution (reference optimizer.py:583-683)
         new_cams, new_pts, _ = bundle.refit(result.cams, result.pts,
                                             cams0[:, :3])

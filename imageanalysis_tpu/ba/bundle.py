@@ -204,6 +204,216 @@ lm_step = functools.partial(jax.jit, static_argnames=("n_cam", "n_pt",
                                                       "cg_iters", "cg_tol"))(lm_step_impl)
 
 
+# ---------------------------------------------------------------------------
+# Joint pose/point/global-calibration step (reference optimize_calib='global',
+# optimizer.py:122-141, 180-196): the 8 shared [f, cx, cy, k1, k2, p1, p2, k3]
+# parameters join the camera-reduced (Schur) system as a dense border block.
+# ---------------------------------------------------------------------------
+
+def _calib_K_dist(calib):
+    K = jnp.array([[calib[0], 0.0, calib[1]],
+                   [0.0, calib[0], calib[2]],
+                   [0.0, 0.0, 1.0]])
+    return K, calib[3:8]
+
+
+def _per_obs_jacobians_calib(cams, pts, obs, calib):
+    def resid_one(cam, pt, uv, w, c):
+        K, dist = _calib_K_dist(c)
+        pred, _ = project_ned_quat(pt, cam[:3], cam[3:7], K, dist)
+        return (pred - uv) * w
+
+    def jac_one(cam, pt, uv, w):
+        return jax.jacfwd(resid_one, argnums=(0, 1, 4))(cam, pt, uv, w, calib)
+
+    c = cams[obs.cam_idx]
+    p = pts[obs.pt_idx]
+    Jc, Jp, Jk = jax.vmap(jac_one)(c, p, obs.uv, obs.weight)
+    r = jax.vmap(lambda a, b, u, w: resid_one(a, b, u, w, calib))(
+        c, p, obs.uv, obs.weight)
+    return Jc, Jp, Jk, r
+
+
+def lm_step_calib_impl(cams, pts, calib, obs, lam, gps_ned, gps_w, n_cam,
+                       n_pt, cg_iters=60, cg_tol=1e-3):
+    """Damped GN step over (cameras, points, shared calibration).
+
+    gps_ned (n_cam, 3) + gps_w (px²/m² weight): soft GPS position prior —
+    without it the global focal length trades freely against camera heights
+    inside the box bounds (f·h gauge). gps_w=0 disables.
+    """
+    Jc, Jp, Jk, r = _per_obs_jacobians_calib(cams, pts, obs, calib)
+    cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
+
+    g_c = _seg(jnp.einsum("oij,oi->oj", Jc, r), cam_idx, n_cam)
+    g_p = _seg(jnp.einsum("oij,oi->oj", Jp, r), pt_idx, n_pt)
+    g_k = jnp.einsum("oij,oi->j", Jk, r)
+    Hcc = _seg(jnp.einsum("oik,oil->okl", Jc, Jc), cam_idx, n_cam)
+    Hpp = _seg(jnp.einsum("oik,oil->okl", Jp, Jp), pt_idx, n_pt)
+    Hkk = jnp.einsum("oik,oil->kl", Jk, Jk)
+
+    # GPS prior contributes gps_w·(ned − gps) to the gradient and gps_w·I to
+    # the position block of H_cc
+    g_c = g_c.at[:, :3].add(gps_w * (cams[:, :3] - gps_ned))
+    Hcc = Hcc.at[:, 0, 0].add(gps_w).at[:, 1, 1].add(gps_w).at[:, 2, 2].add(gps_w)
+
+    eye7 = jnp.eye(7, dtype=cams.dtype)
+    eye3 = jnp.eye(3, dtype=cams.dtype)
+    eye8 = jnp.eye(8, dtype=cams.dtype)
+    dc = jnp.einsum("cii->ci", Hcc)
+    dp = jnp.einsum("pii->pi", Hpp)
+    dk = jnp.diag(Hkk)
+    Hpp_d = Hpp + lam * jnp.einsum("pi,ij->pij", dp, eye3) + 1e-8 * eye3
+    Hpp_inv = _inv3x3(Hpp_d)
+
+    def matvec(v):
+        v_c, v_k = v
+        u = jnp.einsum("oij,oj->oi", Jc, v_c[cam_idx]) \
+            + jnp.einsum("oij,j->oi", Jk, v_k)
+        w = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
+        y = jnp.einsum("pij,pj->pi", Hpp_inv, w)
+        z = jnp.einsum("oij,oj->oi", Jp, y[pt_idx])
+        uz = u - z
+        out_c = _seg(jnp.einsum("oij,oi->oj", Jc, uz), cam_idx, n_cam) \
+            + lam * dc * v_c + 1e-8 * v_c
+        out_c = out_c.at[:, :3].add(gps_w * v_c[:, :3])
+        out_k = jnp.einsum("oij,oi->j", Jk, uz) + lam * dk * v_k + 1e-8 * v_k
+        return out_c, out_k
+
+    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
+    z0 = jnp.einsum("oij,oj->oi", Jp, y0[pt_idx])
+    b_c = -(g_c - _seg(jnp.einsum("oij,oi->oj", Jc, z0), cam_idx, n_cam))
+    b_k = -(g_k - jnp.einsum("oij,oi->j", Jk, z0))
+
+    Pc = jnp.linalg.inv(Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7)
+                        + 1e-6 * eye7)
+    Pk = jnp.linalg.inv(Hkk + lam * jnp.diag(dk) + 1e-6 * eye8)
+
+    def precond(v):
+        return (jnp.einsum("cij,cj->ci", Pc, v[0]), Pk @ v[1])
+
+    def dot(a, b):
+        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+    def axpy(a, x, y):
+        return (y[0] + a * x[0], y[1] + a * x[1])
+
+    x0 = (jnp.zeros_like(b_c), jnp.zeros_like(b_k))
+    r0 = (b_c, b_k)
+    z0c = precond(r0)
+    rz0 = dot(r0, z0c)
+    b_norm = jnp.sqrt(dot(r0, r0)) + 1e-30
+
+    def cg_body(state):
+        x, rr, p, rz, it = state
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = axpy(alpha, p, x)
+        rr = axpy(-alpha, Ap, rr)
+        zz = precond(rr)
+        rz_new = dot(rr, zz)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = (zz[0] + beta * p[0], zz[1] + beta * p[1])
+        return x, rr, p, rz_new, it + 1
+
+    def cg_cond(state):
+        _, rr, _, _, it = state
+        return (jnp.sqrt(dot(rr, rr)) / b_norm > cg_tol) & (it < cg_iters)
+
+    (dc_cam, dk_cal), _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (x0, r0, z0c, rz0, 0))
+
+    u = jnp.einsum("oij,oj->oi", Jc, dc_cam[cam_idx]) \
+        + jnp.einsum("oij,j->oi", Jk, dk_cal)
+    hpc = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
+    dp_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - hpc)
+    return dc_cam, dp_pts, dk_cal
+
+
+lm_step_calib = functools.partial(
+    jax.jit, static_argnames=("n_cam", "n_pt", "cg_iters", "cg_tol"))(
+        lm_step_calib_impl)
+
+
+def ba_cost_calib(cams, pts, calib, obs, gps_ned=None, gps_w=0.0):
+    K, dist = _calib_K_dist(calib)
+    cost, mre, mx = ba_cost(cams, pts, obs, K, dist)
+    if gps_ned is not None:
+        cost = cost + 0.5 * gps_w * jnp.sum((cams[:, :3] - gps_ned) ** 2)
+    return cost, mre, mx
+
+
+def solve_global_calib(cams0, pts0, obs, K0, dist0,
+                       config: BAConfig = BAConfig(), gps_sigma_m=2.0,
+                       verbose=True, log_fn=print):
+    """LM loop jointly over poses, points, and the shared calibration
+    (reference optimizer.py optimize_calib='global'). Returns
+    (BAResult, K (3,3), dist (5,))."""
+    cams = jnp.asarray(cams0, dtype=jnp.float32)
+    pts = jnp.asarray(pts0, dtype=jnp.float32)
+    K0 = np.asarray(K0)
+    calib = jnp.asarray(np.r_[0.5 * (K0[0, 0] + K0[1, 1]), K0[0, 2], K0[1, 2],
+                              np.asarray(dist0)].astype(np.float32))
+    n_cam, n_pt = cams.shape[0], pts.shape[0]
+    ned0 = cams[:, :3]
+    lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz,
+                           config.bound_vert])
+    hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz,
+                           config.bound_vert])
+
+    gps_ned = jnp.asarray(np.asarray(cams0)[:, :3], dtype=jnp.float32)
+    # weight in px²/m²: a 1 m position error ≈ (f/alt) px of reprojection;
+    # sigma_m of GPS noise → w = 1/σ²
+    gps_w = jnp.float32(1.0 / (gps_sigma_m ** 2)) if gps_sigma_m else jnp.float32(0.0)
+
+    lam = config.lam0
+    cost, mre, mx = ba_cost_calib(cams, pts, calib, obs, gps_ned, gps_w)
+    cost = float(cost)
+    history = [cost]
+    if verbose:
+        log_fn(f"BA+calib start: cost={cost:.4g} mre={float(mre):.3f}px")
+    it = 0
+    for it in range(config.max_iters):
+        accepted = False
+        for _ in range(config.max_retries):
+            d_cam, d_pt, d_cal = lm_step_calib(cams, pts, calib, obs,
+                                               jnp.float32(lam), gps_ned,
+                                               gps_w, n_cam, n_pt,
+                                               cg_iters=config.cg_iters)
+            cams_new = cams + d_cam
+            ned = jnp.clip(cams_new[:, :3], lo, hi)
+            q = cams_new[:, 3:7]
+            q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                                1e-12)
+            cams_new = jnp.concatenate([ned, q], axis=1)
+            pts_new = pts + d_pt
+            calib_new = calib + d_cal
+            new_cost, new_mre, _ = ba_cost_calib(cams_new, pts_new, calib_new,
+                                                 obs, gps_ned, gps_w)
+            new_cost = float(new_cost)
+            if np.isfinite(new_cost) and new_cost < cost:
+                cams, pts, calib = cams_new, pts_new, calib_new
+                rel = 1.0 - new_cost / cost
+                cost = new_cost
+                lam = max(lam / config.lam_down, 1e-9)
+                accepted = True
+                history.append(cost)
+                if verbose:
+                    log_fn(f"  iter {it}: mre={float(new_mre):.3f}px "
+                           f"f={float(calib[0]):.2f} lam={lam:.1e}")
+                if rel < config.ftol:
+                    accepted = "converged"
+                break
+            lam = min(lam * config.lam_up, 1e6)
+        if accepted == "converged" or not accepted:
+            break
+    _, mre, _ = ba_cost_calib(cams, pts, calib, obs)
+    K, dist = _calib_K_dist(calib)
+    result = BAResult(np.asarray(cams), np.asarray(pts), float(mre), it + 1,
+                      history)
+    return result, np.asarray(K), np.asarray(dist)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def ba_cost(cams, pts, obs, K, dist):
     r = _residuals(cams, pts, obs, K, dist)
