@@ -149,6 +149,24 @@ def run(args) -> int:
         from ..match.smart import SmartState
         smart_state = SmartState(proj.analysis_dir)
         find_matches(proj, mcfg, smart_state=smart_state)
+        if args.match_strategy == "smart":
+            # apply the accumulated yaw-error estimates to the poses
+            # (reference smart.set_yaw_error_estimates, smart.py:341-346)
+            from ..match import smart as smart_mod
+            body2cam = proj.get_body2cam()
+            n_fix = 0
+            for im in proj.image_list:
+                err = smart_state.get_yaw_error(im.name)
+                if abs(err) > 0.5:
+                    im.set_aircraft_yaw_error_estimate(err, body2cam)
+                    im.save_meta()
+                    n_fix += 1
+            if n_fix:
+                log(f"applied yaw-error corrections to {n_fix} images")
+        # bad-geometry rejection with the final poses (reference
+        # matcher.py:996-1005)
+        from ..match import smart as smart_mod
+        smart_mod.requalify_pairs(proj, smart_state)
         proj.save()
         proj.state.update("STEP3a")
 

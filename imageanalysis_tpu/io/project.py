@@ -95,6 +95,23 @@ class ImageRecord:
         n.set("roll_deg", float(roll_deg))
         n.setlist("quat", quat)
 
+    def set_aircraft_yaw_error_estimate(self, yaw_error_deg, body2cam_quat):
+        """Fold a smart yaw-error estimate into the aircraft AND camera pose
+        quats (reference image.py:434-460): heading from ground-track or
+        magnetometer often carries a bias; the pairwise affine-course
+        estimate corrects it before triangulation/BA."""
+        n = self.node.node("aircraft_pose")
+        n.set("yaw_error_deg", float(yaw_error_deg))
+        yaw = n.get("yaw_deg", 0.0) + yaw_error_deg
+        ned2body = np.asarray(quat_from_ypr(yaw * D2R,
+                                            n.get("pitch_deg", 0.0) * D2R,
+                                            n.get("roll_deg", 0.0) * D2R))
+        n.setlist("quat", ned2body)
+        ned2cam = np.asarray(quat_multiply(ned2body, body2cam_quat))
+        y, p, r = (float(v) * R2D for v in ypr_from_quat(ned2cam))
+        ned, _, _ = self.get_camera_pose()
+        self.set_camera_pose(ned, y, p, r, quat=ned2cam)
+
     def get_aircraft_pose(self):
         n = self.node.node("aircraft_pose")
         lla = [n.get("lat_deg", 0.0), n.get("lon_deg", 0.0), n.get("alt_m", 0.0)]

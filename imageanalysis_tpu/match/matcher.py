@@ -234,14 +234,12 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
                 i1, i2 = proj.image_list[i], proj.image_list[j]
                 if not i1.match_list.get(i2.name):
                     continue
-                avg, std = smart_mod.update_pair(proj, smart_state, i1, i2)
-                if std is not None and std >= 50.0:
-                    log("Matches suspect, big surface std:", i1.name, i2.name,
-                        "%.1f" % std, "- discarding pair")
-                    i1.match_list[i2.name] = []
-                    i2.match_list[i1.name] = []
-                    i1.matches_clean = False
-                    i2.matches_clean = False
+                smart_mod.update_pair(proj, smart_state, i1, i2)
+                # NOTE: bad-geometry pair discard (reference matcher.py:
+                # 996-1005, surface std ≥ 50) happens AFTER yaw-error
+                # correction via smart.requalify_pairs — discarding here
+                # would throw away pairs whose only sin is the heading
+                # bias the corrections are about to fix
         if time.time() - last_save > save_interval:
             _save_all_matches(proj)
             if smart_state is not None:

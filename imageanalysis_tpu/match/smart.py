@@ -253,6 +253,36 @@ def estimate_yaw_error(proj, i1, i2):
     return yaw_error, dist, crs_aff, weight
 
 
+def requalify_pairs(proj, smart: SmartState, std_cutoff=50.0):
+    """Re-triangulate every matched pair with the (corrected) poses and
+    discard pairs whose surface stddev still exceeds the cutoff — the
+    reference's bad-geometry rejection (matcher.py:996-1005), run after
+    yaw-error correction so heading bias doesn't condemn good pairs."""
+    n_drop = 0
+    for i1 in proj.image_list:
+        for other in list(i1.match_list.keys()):
+            i2 = proj.image_by_name(other)
+            if i2 is None or not i1.match_list[other]:
+                continue
+            avg, std, dist_m = estimate_surface_elevation(proj, i1, i2)
+            if avg is None:
+                continue
+            smart.update_surface_pair(i1.name, i2.name, avg, std, dist_m)
+            if std >= std_cutoff:
+                log("Matches suspect, big surface std:", i1.name, i2.name,
+                    "%.1f" % std, "- discarding pair")
+                i1.match_list[other] = []
+                i2.match_list[i1.name] = []
+                i1.matches_clean = False
+                i2.matches_clean = False
+                n_drop += 1
+    for im in proj.image_list:
+        if not im.matches_clean:
+            im.save_matches()
+    smart.save()
+    return n_drop
+
+
 def update_pair(proj, smart: SmartState, i1, i2):
     """Run both estimators for a freshly matched pair and record them
     (reference matcher.py:986-993 call sites)."""

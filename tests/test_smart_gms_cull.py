@@ -132,3 +132,44 @@ def test_smart_estimators_on_synthetic(rng):
     assert abs(avg - 30.0) < 1.0
     assert std < 2.0
     assert abs(dist - np.linalg.norm(ned2 - ned1)) < 1e-3
+
+
+def test_yaw_error_correction_pipeline(tmp_path):
+    """--match-strategy smart corrects a planted heading bias before BA."""
+    import numpy as np
+
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path / "m")
+    m = SyntheticMission(proj_dir, n_images=5, img_size=(640, 480),
+                         altitude=90.0, spacing=12.0, yaw_jitter=0.0, seed=9)
+    m.generate()
+    # plant a constant heading bias into the pose file (groundtrack-style
+    # yaw error): rewrite pix4d.csv yaw column +8 degrees
+    pix4d = tmp_path / "m" / "pix4d.csv"
+    lines = pix4d.read_text().splitlines()
+    out = [lines[0]]
+    for ln in lines[1:]:
+        f = ln.split(",")
+        f[6] = "%.2f" % (float(f[6]) + 8.0)
+        out.append(",".join(f))
+    pix4d.write_text("\n".join(out) + "\n")
+
+    db = str(tmp_path / "cams")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--scale", "1.0", "--ground", "0.0",
+                       "--batch-size", "2", "--min-chain-len", "2",
+                       "--match-strategy", "smart"])
+    assert rc == 0
+    proj = ProjectMgr(proj_dir)
+    proj.load_images_info()
+    # the smart pass should have detected and removed most of the +8° bias
+    errs = [im.node.node("aircraft_pose").get("yaw_error_deg", 0.0)
+            for im in proj.image_list]
+    applied = [e for e in errs if abs(e) > 1.0]
+    assert len(applied) >= 3, errs
+    assert np.median([e for e in errs if e]) < -4.0, errs
