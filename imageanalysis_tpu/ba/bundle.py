@@ -500,7 +500,7 @@ def refit(cams, pts, gps_ned, use_cams=None):
     apply to cameras (position + attitude) and points. use_cams: bool mask of
     cameras to include in the fit.
     """
-    from ..core.rotations import matrix_to_quat, quat_multiply, quat_to_matrix
+    from ..core.rotations import matrix_to_quat, quat_multiply
 
     cams = jnp.asarray(cams)
     pts = jnp.asarray(pts)

@@ -20,8 +20,6 @@ code here is mesh-shape-agnostic.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

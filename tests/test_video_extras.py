@@ -90,3 +90,35 @@ def test_zooniverse_chop(tmp_path, rng):
     assert timg.shape == src.shape
     # jpeg-lossy comparison
     assert np.abs(timg.astype(int) - src.astype(int)).mean() < 20
+
+
+def test_stabilize_video(tmp_path, rng):
+    """A shaky pan gets smoother after stabilization."""
+    from imageanalysis_tpu.video import stabilize
+    from imageanalysis_tpu.video.frame_motion import estimate_motion
+
+    base = cv2.GaussianBlur(rng.uniform(0, 255, (600, 800)).astype(np.float32),
+                            (0, 0), 2)
+    base = cv2.normalize(base, None, 0, 255, cv2.NORM_MINMAX).astype(np.uint8)
+    path = str(tmp_path / "shaky.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (400, 300))
+    for i in range(40):
+        # smooth pan + high-frequency jitter
+        dx = i * 3 + rng.normal(0, 4)
+        dy = rng.normal(0, 4)
+        M = np.float32([[1, 0, -dx], [0, 1, -dy]])
+        fr = cv2.warpAffine(base, M, (400, 300))
+        w.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+    w.release()
+
+    out = str(tmp_path / "stable.mp4")
+    n = stabilize.stabilize_video(path, out, sigma_frames=8.0)
+    assert n >= 35
+    # jitter metric: std of per-frame dx after removing the linear pan
+    def jitter(p):
+        recs = estimate_motion(p)
+        tx = np.array([r[3] for r in recs])
+        t = np.arange(len(tx))
+        resid = tx - np.polyval(np.polyfit(t, tx, 1), t)
+        return resid.std()
+    assert jitter(out) < jitter(path) * 0.6
