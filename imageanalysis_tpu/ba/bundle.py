@@ -448,6 +448,7 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
     hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
 
     lam = config.lam0
+    nu = 2.0
     cost, mre, mx = ba_cost(cams, pts, obs, K, dist)
     cost = float(cost)
     history = [cost]
@@ -458,9 +459,10 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
     for it in range(config.max_iters):
         accepted = False
         for _ in range(config.max_retries):
-            dc, dp, _ = lm_step(cams, pts, obs, K, dist, jnp.float32(lam),
-                                n_cam, n_pt, cg_iters=config.cg_iters,
-                                cg_tol=config.cg_tol)
+            dc, dp, pred_dec = lm_step(cams, pts, obs, K, dist,
+                                       jnp.float32(lam), n_cam, n_pt,
+                                       cg_iters=config.cg_iters,
+                                       cg_tol=config.cg_tol)
             cams_new = cams + dc
             # project onto bounds + renormalize quats
             ned = jnp.clip(cams_new[:, :3], lo, hi)
@@ -471,10 +473,15 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
             new_cost, new_mre, new_mx = ba_cost(cams_new, pts_new, obs, K, dist)
             new_cost = float(new_cost)
             if np.isfinite(new_cost) and new_cost < cost:
+                # Nielsen gain-ratio damping: compare actual to predicted
+                # decrease; good models shrink λ fast, poor ones grow it
+                rho = (cost - new_cost) / max(float(pred_dec), 1e-30)
                 cams, pts = cams_new, pts_new
                 rel = 1.0 - new_cost / cost
                 cost = new_cost
-                lam = max(lam / config.lam_down, 1e-9)
+                lam = max(lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                          1e-9)
+                nu = 2.0
                 accepted = True
                 if verbose:
                     log_fn(f"  iter {it}: mre={float(new_mre):.3f}px "
@@ -484,7 +491,8 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
                     it += 1
                     accepted = "converged"
                 break
-            lam = min(lam * config.lam_up, 1e6)
+            lam = min(lam * nu, 1e6)
+            nu = min(nu * 2.0, 64.0)
         if accepted == "converged" or not accepted:
             break
 

@@ -88,9 +88,13 @@ def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
 
 
 class BatchMatcher:
-    """Host orchestration: pack pair batches, run the device call, unpack."""
+    """Host orchestration: pack pair batches, run the device call, unpack.
 
-    def __init__(self, proj, config: MatchConfig):
+    Two data paths: per-chunk host assembly (default for small missions) or
+    a resident device DescriptorStore (match/store.py) with device-side
+    gathers — the mission-scale path (no descriptor uploads per pair)."""
+
+    def __init__(self, proj, config: MatchConfig, use_store=None):
         self.proj = proj
         self.config = config
         cam = proj.camera_model()
@@ -102,6 +106,19 @@ class BatchMatcher:
         self.key = jax.random.PRNGKey(config.seed)
         if config.use_pallas is None:
             config.use_pallas = jax.default_backend() == "tpu"
+        self.store = None
+        if use_store is None:
+            use_store = len(proj.image_list) >= 64
+        if use_store and proj.image_list:
+            from .store import DescriptorStore
+            counts = []
+            for im in proj.image_list:
+                if im.kp is None:
+                    im.load_features()
+                counts.append(len(im.kp) if im.kp is not None else 0)
+            npad = max(((max(counts, default=1) + 255) // 256) * 256, 256)
+            if DescriptorStore.fits(len(proj.image_list), npad):
+                self.store = DescriptorStore(proj)
 
     def _prepare(self, image):
         if image.kp is None:
@@ -113,6 +130,8 @@ class BatchMatcher:
     def match_pairs(self, pairs, progress=True):
         """pairs: list of (i, j) image indices. Fills image.match_list both
         directions like the reference (matcher.py:975-985)."""
+        if self.store is not None:
+            return self._match_pairs_store(pairs, progress=progress)
         cfg = self.config
         images = self.proj.image_list
         npad = 256
@@ -185,6 +204,61 @@ class BatchMatcher:
                 i2.matches_clean = False
                 n_matched += len(idx_pairs)
         return n_matched
+
+    def _match_pairs_store(self, pairs, progress=True):
+        """Store path: image indices go to the device; descriptors never
+        leave HBM. Chunks are padded to the static batch size with dummy
+        (0, 0) pairs whose results are discarded."""
+        cfg = self.config
+        images = self.proj.image_list
+        B = cfg.batch_size
+        it = range(0, len(pairs), B)
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it, desc="match(store)",
+                          total=(len(pairs) + B - 1) // B)
+            except ImportError:
+                pass
+        bf16 = self.store.dtype == "uint8" or cfg.bf16
+        n_matched = 0
+        for start in it:
+            chunk = pairs[start:start + B]
+            ii = np.zeros(B, np.int32)
+            jj = np.zeros(B, np.int32)
+            for bi, (i, j) in enumerate(chunk):
+                ii[bi], jj[bi] = i, j
+            desc_a, uv_a, n_a = self.store.gather(ii)
+            desc_b, uv_b, n_b = self.store.gather(jj)
+            # dummy padding slots match an image against itself; drop below
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, B)
+            best_j, ok = match_pair_batch(
+                desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
+                ratio=cfg.ratio, thresh=self.thresh, transform=cfg.transform,
+                n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
+            n_matched += _store_unpack(images, chunk, np.asarray(best_j),
+                                       np.asarray(ok), cfg.min_pairs)
+        return n_matched
+
+
+def _store_unpack(images, chunk, best_j, ok, min_pairs):
+    """Shared result unpacking: dense (best_j, ok) → match_list entries."""
+    n_matched = 0
+    for bi, (i, j) in enumerate(chunk):
+        i1, i2 = images[i], images[j]
+        rows = np.nonzero(ok[bi])[0]
+        cols = best_j[bi, rows]
+        if len(rows) < min_pairs:
+            rows = rows[:0]
+            cols = cols[:0]
+        idx_pairs = np.stack([rows, cols], axis=1).astype(int).tolist()
+        i1.match_list[i2.name] = idx_pairs
+        i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
+        i1.matches_clean = False
+        i2.matches_clean = False
+        n_matched += len(idx_pairs)
+    return n_matched
 
 
 def find_matches(proj, config: MatchConfig | None = None, use_distance=True,

@@ -1,0 +1,91 @@
+"""Resident device descriptor store for mission-scale matching.
+
+The reference fights memory with an LRU descriptor cache sized 20+5·√n
+images (matcher.py:1012-1026) because CPU RAM holds f32 descriptors. On TPU
+the whole mission fits in HBM natively: SIFT descriptors are integral
+0..255, so they live as ONE uint8 array [n_images, npad, 128] (2812 images ×
+8192 × 128 = 2.9 GB) alongside the undistorted keypoint uv [n_images, npad,
+2] f32. Pair batches are then a device-side gather — no host↔device
+descriptor traffic per pair, which is what the per-pair host assembly path
+pays (B × npad × 128 f32 uploads per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.logger import log
+
+
+def _round_up(x, m):
+    return ((int(x) + m - 1) // m) * m
+
+
+class DescriptorStore:
+    def __init__(self, proj, images=None, npad=None, dtype="uint8"):
+        import jax.numpy as jnp
+
+        images = images if images is not None else proj.image_list
+        counts = []
+        for im in images:
+            if im.kp is None:
+                im.load_features()
+            counts.append(len(im.kp) if im.kp is not None else 0)
+        if npad is None:
+            npad = _round_up(max(max(counts, default=1), 256), 256)
+        self.npad = npad
+        self.names = [im.name for im in images]
+        self.index = {im.name: i for i, im in enumerate(images)}
+        n_img = len(images)
+
+        d = 128
+        for im in images:
+            im.load_descriptors()
+            if im.des is not None and im.des.shape[0]:
+                d = im.des.shape[1]
+                break
+
+        desc = np.zeros((n_img, npad, d),
+                        np.uint8 if dtype == "uint8" else np.float32)
+        if dtype == "uint8":
+            desc[:] = 255  # pad rows far from any real descriptor
+        else:
+            desc[:] = 10000.0
+        uv = np.zeros((n_img, npad, 2), np.float32)
+        n = np.zeros(n_img, np.int32)
+        for i, im in enumerate(images):
+            im.load_descriptors()
+            if im.uv_list is None:
+                proj.undistort_image_keypoints(im)
+            k = min(counts[i], npad)
+            if k:
+                dsc = im.des[:k]
+                if dtype == "uint8":
+                    dsc = np.clip(np.round(dsc), 0, 255).astype(np.uint8)
+                desc[i, :k] = dsc
+                uv[i, :k] = im.uv_list[:k]
+            n[i] = k
+            im.unload_descriptors()  # host copy no longer needed
+
+        self.dtype = dtype
+        self.desc = jnp.asarray(desc)
+        self.uv = jnp.asarray(uv)
+        self.counts = jnp.asarray(n)
+        gb = desc.nbytes / 1e9
+        log(f"descriptor store: {n_img} images × {npad} × {d} {dtype} "
+            f"({gb:.2f} GB on device)")
+
+    def gather(self, idx):
+        """idx: (B,) int array of image indices → (desc (B, npad, d) bf16/f32,
+        uv (B, npad, 2), counts (B,)) — all device-side."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(idx, dtype=jnp.int32)
+        d = jnp.take(self.desc, idx, axis=0)
+        if self.dtype == "uint8":
+            d = d.astype(jnp.bfloat16)
+        return d, jnp.take(self.uv, idx, axis=0), jnp.take(self.counts, idx)
+
+    @staticmethod
+    def fits(n_images, npad, d=128, budget_bytes=6_000_000_000):
+        return n_images * npad * d <= budget_bytes

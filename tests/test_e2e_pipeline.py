@@ -197,3 +197,37 @@ def test_explorer_headless_render(processed, tmp_path):
     ex.annotations.save()
     ia = os.path.join(m.project_dir, "ImageAnalysis")
     assert os.path.isfile(os.path.join(ia, "annotations.json"))
+
+
+def test_store_path_matches_host_path(processed):
+    """The resident-descriptor-store matcher must reproduce the host-assembly
+    matcher's pairs (uint8 quantization of integral SIFT values is exact)."""
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.match.matcher import BatchMatcher, MatchConfig
+
+    m = processed
+    proj = ProjectMgr(m.project_dir)
+    proj.load_images_info()
+    for im in proj.image_list:
+        im.load_features()
+        im.load_descriptors()
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    cfg = MatchConfig(batch_size=4, bf16=True)
+
+    host = BatchMatcher(proj, cfg, use_store=False)
+    host.match_pairs(pairs, progress=False)
+    host_results = {(i, j): list(proj.image_list[i].match_list[
+        proj.image_list[j].name]) for i, j in pairs}
+
+    for im in proj.image_list:
+        im.match_list = {}
+    store = BatchMatcher(proj, cfg, use_store=True)
+    assert store.store is not None
+    store.match_pairs(pairs, progress=False)
+    for i, j in pairs:
+        got = proj.image_list[i].match_list[proj.image_list[j].name]
+        want = host_results[(i, j)]
+        # identical knn + identical PRNG keys → near-identical match sets
+        # (uint8 vs f32 rounding can flip a handful of marginal RANSAC calls)
+        inter = len({tuple(p) for p in got} & {tuple(p) for p in want})
+        assert inter > 0.9 * max(len(want), 1), (i, j, len(got), len(want))
