@@ -432,14 +432,39 @@ class BAResult(NamedTuple):
     cost_history: list
 
 
+def reweight_huber(cams, pts, obs, K, dist, delta_px=4.0):
+    """One IRLS reweighting pass: Huber weights w = min(1, δ/|r|) folded into
+    the observation weights. The reference handles outliers by hard culling
+    after the fit (4b-mre-by-image); a robust loss inside the fit keeps
+    marginal observations contributing instead of binary keep/drop."""
+    r = _residuals(cams, pts, obs, K, dist)
+    mag = jnp.linalg.norm(r, axis=-1)
+    base = jnp.where(obs.weight > 0, 1.0, 0.0)
+    w = base * jnp.minimum(1.0, delta_px / jnp.maximum(mag, 1e-6))
+    return obs._replace(weight=jnp.sqrt(w))
+
+
 def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True,
-          log_fn=print):
+          log_fn=print, huber_px=None, irls_rounds=2):
     """LM outer loop (host-driven; every inner computation is one jitted call).
 
     cams0: (n_cam, 7) [ned(3), quat(4)]; pts0: (n_pt, 3); obs: BAObservations.
-    Returns BAResult. Logs mre/std/max per improving iteration like the
-    reference (optimizer.py:249-252).
+    huber_px: enable a robust loss via IRLS — after each of ``irls_rounds``
+    convergences, observations are Huber-reweighted at that scale and the
+    solve continues. Returns BAResult. Logs mre/std/max per improving
+    iteration like the reference (optimizer.py:249-252).
     """
+    if huber_px is not None:
+        cams, pts = cams0, pts0
+        obs_w = obs
+        result = None
+        for _ in range(irls_rounds + 1):
+            result = solve(cams, pts, obs_w, K, dist, config, verbose=verbose,
+                           log_fn=log_fn)
+            cams, pts = result.cams, result.pts
+            obs_w = reweight_huber(jnp.asarray(cams), jnp.asarray(pts), obs,
+                                   K, dist, delta_px=huber_px)
+        return result
     cams = jnp.asarray(cams0, dtype=jnp.float32)
     pts = jnp.asarray(pts0, dtype=jnp.float32)
     n_cam, n_pt = cams.shape[0], pts.shape[0]

@@ -92,23 +92,31 @@ def _octave_stack(img, sigma_base):
     return gs, dogs
 
 
+def _win3(x, op, init):
+    """3×3 windowed reduce over the spatial dims of (B, H, W)."""
+    return jax.lax.reduce_window(x, init, op, (1, 3, 3), (1, 1, 1),
+                                 "SAME")
+
+
 def _extrema_mask_level(dogs, lvl, thresh):
-    """26-neighbor min/max test for one DoG level. dogs: list of (B, H, W);
-    running min/max accumulation keeps peak memory at one image layer."""
+    """26-neighbor min/max test for one DoG level via windowed reductions
+    (one hardware reduce_window per level/direction instead of 8 roll+max
+    chains). A point is a maximum iff it attains its own level's 3×3 max
+    and strictly exceeds the adjacent levels' 3×3 maxima (ties between
+    float DoG values are measure-zero)."""
     center = dogs[lvl]
     B, H, W = center.shape
-    neigh_max = None
-    neigh_min = None
-    for ds in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                sh = jnp.roll(dogs[lvl + ds], (-dy, -dx), axis=(1, 2))
-                neigh_max = sh if neigh_max is None else jnp.maximum(neigh_max, sh)
-                neigh_min = sh if neigh_min is None else jnp.minimum(neigh_min, sh)
-    mask = ((center > neigh_max) | (center < neigh_min)) \
-        & (jnp.abs(center) > thresh)
+    neg = jnp.float32(-3.0e38)
+    pos = jnp.float32(3.0e38)
+    own_max = _win3(center, jax.lax.max, neg)
+    own_min = _win3(center, jax.lax.min, pos)
+    adj_max = jnp.maximum(_win3(dogs[lvl - 1], jax.lax.max, neg),
+                          _win3(dogs[lvl + 1], jax.lax.max, neg))
+    adj_min = jnp.minimum(_win3(dogs[lvl - 1], jax.lax.min, pos),
+                          _win3(dogs[lvl + 1], jax.lax.min, pos))
+    is_max = (center >= own_max) & (center > adj_max)
+    is_min = (center <= own_min) & (center < adj_min)
+    mask = (is_max | is_min) & (jnp.abs(center) > thresh)
     yy = jnp.arange(H)
     xx = jnp.arange(W)
     border = 8

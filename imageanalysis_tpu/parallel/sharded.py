@@ -159,6 +159,25 @@ def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
 
 
 # ---------------------------------------------------------------------------
+# Sharded feature detection
+# ---------------------------------------------------------------------------
+
+def sharded_detect(mesh: Mesh, per_octave, n_octaves, axis="dp"):
+    """The batched SIFT detector with its image axis sharded over the mesh:
+    each chip detects its own images, zero communication. Feed image counts
+    that are multiples of the mesh size (pad with blanks)."""
+    from ..features.sift_tpu import _detect_batch
+
+    img_sh = NamedSharding(mesh, P(axis))
+
+    def impl(imgs):
+        return _detect_batch(imgs, per_octave, n_octaves)
+
+    return jax.jit(impl, in_shardings=(img_sh,),
+                   out_shardings=(img_sh, img_sh, img_sh, img_sh))
+
+
+# ---------------------------------------------------------------------------
 # Sharded pair matching
 # ---------------------------------------------------------------------------
 

@@ -148,3 +148,44 @@ def test_calibration_refinement(rng):
     assert K_fit[0, 0] > 1755.0, K_fit[0, 0]      # moved ≥25% toward 1800
     assert result.mre < res_bad.mre * 0.8
     assert result.mre < 0.2
+
+
+def test_huber_irls_rejects_outliers(rng):
+    """Robust loss downweights planted gross outliers that wreck plain LS."""
+    cams_true, pts_true, cams0, pts0, obs = synth_problem(
+        rng, n_cam=9, n_pt=200, px_noise=0.2)
+    # corrupt 10% of observations with 40-200 px errors
+    n = obs.uv.shape[0]
+    n_bad = n // 10
+    bad = rng.choice(n, n_bad, replace=False)
+    uv = np.asarray(obs.uv).copy()
+    uv[bad] += rng.uniform(40, 200, (n_bad, 2)) * rng.choice([-1, 1], (n_bad, 2))
+    obs_c = obs._replace(uv=jnp.asarray(uv.astype(np.float32)))
+
+    plain = bundle.solve(cams0, pts0, obs_c, jnp.asarray(K), jnp.asarray(DIST),
+                         bundle.BAConfig(max_iters=15), verbose=False)
+    robust = bundle.solve(cams0, pts0, obs_c, jnp.asarray(K), jnp.asarray(DIST),
+                          bundle.BAConfig(max_iters=15), verbose=False,
+                          huber_px=1.5, irls_rounds=3)
+
+    def aligned_err(res):
+        # remove the global similarity gauge before comparing (the camera
+        # box bounds leave ~3 m of global drift free)
+        from imageanalysis_tpu.core.transforms import apply_similarity, umeyama
+        s_, R_, t_ = umeyama(jnp.asarray(res.cams[:, :3]),
+                             jnp.asarray(cams_true[:, :3]))
+        pts_al = np.asarray(apply_similarity(s_, R_, t_,
+                                             jnp.asarray(res.pts)))
+        return np.median(np.linalg.norm(pts_al - pts_true, axis=1))
+
+    err_plain = aligned_err(plain)
+    err_rob = aligned_err(robust)
+    assert err_rob < err_plain * 0.7, (err_rob, err_plain)
+    # the IRLS weights must identify the planted outliers
+    w_obs = bundle.reweight_huber(jnp.asarray(robust.cams),
+                                  jnp.asarray(robust.pts), obs_c,
+                                  jnp.asarray(K), jnp.asarray(DIST),
+                                  delta_px=1.5)
+    w = np.asarray(w_obs.weight) ** 2
+    good = np.setdiff1d(np.arange(n), bad)
+    assert np.median(w[bad]) < 0.25 * np.median(w[good])

@@ -68,3 +68,18 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert np.asarray(out[0]).shape[0] == 4
     ge.dryrun_multichip(8)
+
+
+def test_sharded_detection(rng):
+    """Detection sharded over the 8-device mesh equals single-device."""
+    from imageanalysis_tpu.features import sift_tpu
+    from imageanalysis_tpu.parallel import sharded
+
+    imgs = rng.uniform(0, 1, (8, 256, 256)).astype(np.float32)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    fn = sharded.sharded_detect(mesh, per_octave=96, n_octaves=3)
+    kp_s, meta_s, desc_s, valid_s = fn(jnp.asarray(imgs))
+    kp_1, meta_1, desc_1, valid_1 = sift_tpu._detect_batch(
+        jnp.asarray(imgs), 96, 3)
+    np.testing.assert_array_equal(np.asarray(valid_s), np.asarray(valid_1))
+    np.testing.assert_allclose(np.asarray(kp_s), np.asarray(kp_1), atol=1e-4)
