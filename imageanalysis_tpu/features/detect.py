@@ -85,7 +85,12 @@ def detect(gray: np.ndarray, config: DetectorConfig):
         kp = np.array([k.pt for k in kps], np.float32).reshape(-1, 2)
         kp_meta = np.array([(k.size, k.angle, k.response, k.octave)
                             for k in kps], np.float32).reshape(-1, 4)
-        des = des.astype(np.float32) if des is not None else None
+        if des is not None:
+            # unpack the 256-bit binary descriptor to 0/1 floats: squared-L2
+            # on bit vectors equals Hamming distance, so the reference's LSH
+            # Hamming matching (matcher.py:63-71) maps onto the same MXU
+            # k-NN kernel the SIFT path uses
+            des = np.unpackbits(des, axis=1).astype(np.float32)
     else:
         raise ValueError(f"unknown detector {config.detector}")
 

@@ -304,16 +304,13 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
         total += matcher.match_pairs(chunk, progress=True)
         if smart_state is not None:
             from . import smart as smart_mod
-            for i, j in chunk:
-                i1, i2 = proj.image_list[i], proj.image_list[j]
-                if not i1.match_list.get(i2.name):
-                    continue
-                smart_mod.update_pair(proj, smart_state, i1, i2)
-                # NOTE: bad-geometry pair discard (reference matcher.py:
-                # 996-1005, surface std ≥ 50) happens AFTER yaw-error
-                # correction via smart.requalify_pairs — discarding here
-                # would throw away pairs whose only sin is the heading
-                # bias the corrections are about to fix
+            smart_mod.update_pairs_batched(
+                proj, smart_state,
+                [(proj.image_list[i], proj.image_list[j]) for i, j in chunk])
+            # NOTE: bad-geometry pair discard (reference matcher.py:996-1005,
+            # surface std ≥ 50) happens AFTER yaw-error correction via
+            # smart.requalify_pairs — discarding here would throw away pairs
+            # whose only sin is the heading bias the corrections fix
         if time.time() - last_save > save_interval:
             _save_all_matches(proj)
             if smart_state is not None:

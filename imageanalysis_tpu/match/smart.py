@@ -253,29 +253,111 @@ def estimate_yaw_error(proj, i1, i2):
     return yaw_error, dist, crs_aff, weight
 
 
+def pair_surface_stats_batched(proj, pair_list, chunk=64):
+    """Triangulated (avg_elev, std, baseline) for many pairs in few device
+    calls: pairs are bucketed by padded match count, stacked, and solved
+    with one vmapped two-view triangulation per bucket chunk. Per-pair
+    device round trips at mission scale dominate wall-clock otherwise.
+
+    pair_list: [(i1, i2), ...] ImageRecord pairs with non-empty match_list.
+    Returns list of (avg, std, dist_m) aligned with pair_list.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.camera import ned_quat_to_rt, pixels_to_normalized
+    from ..ops.triangulate import triangulate_two_view
+
+    model = proj.camera_model()
+
+    buckets = {}
+    for k, (i1, i2) in enumerate(pair_list):
+        n = len(i1.match_list[i2.name])
+        npad = max(256, 1 << (n - 1).bit_length())
+        buckets.setdefault(npad, []).append(k)
+
+    from ..core.transforms import fit_similarity_2d
+
+    tri_b = jax.jit(jax.vmap(lambda P1, P2, a, b:
+                             triangulate_two_view(P1, P2, a, b)),
+                    static_argnames=())
+    fit_b = jax.jit(jax.vmap(fit_similarity_2d))
+    results = [None] * len(pair_list)
+    affines = [None] * len(pair_list)
+    for npad, idxs in buckets.items():
+        for s in range(0, len(idxs), chunk):
+            group = idxs[s:s + chunk]
+            B = len(group)
+            uv1 = np.zeros((B, npad, 2), np.float32)
+            uv2 = np.zeros((B, npad, 2), np.float32)
+            msk = np.zeros((B, npad), bool)
+            P1 = np.zeros((B, 3, 4), np.float32)
+            P2 = np.zeros((B, 3, 4), np.float32)
+            dists = np.zeros(B)
+            for bi, k in enumerate(group):
+                i1, i2 = pair_list[k]
+                pairs = i1.match_list[i2.name]
+                n = len(pairs)
+                if i1.kp is None:
+                    i1.load_features()
+                if i2.kp is None:
+                    i2.load_features()
+                uv1[bi, :n] = [i1.kp[a] for a, _ in pairs]
+                uv2[bi, :n] = [i2.kp[b] for _, b in pairs]
+                msk[bi, :n] = True
+                for P, im in ((P1, i1), (P2, i2)):
+                    ned, _, q = im.get_camera_pose()
+                    R, t = ned_quat_to_rt(jnp.asarray(ned, dtype=jnp.float32),
+                                          jnp.asarray(q, dtype=jnp.float32))
+                    P[bi] = np.asarray(jnp.concatenate([R, t[:, None]], 1))
+                ned1, _, _ = i1.get_camera_pose()
+                ned2, _, _ = i2.get_camera_pose()
+                dists[bi] = np.linalg.norm(np.asarray(ned2) - np.asarray(ned1))
+            n1 = pixels_to_normalized(jnp.asarray(uv1), model.K)
+            n2 = pixels_to_normalized(jnp.asarray(uv2), model.K)
+            pts = np.asarray(tri_b(jnp.asarray(P1), jnp.asarray(P2), n1, n2))
+            # similarity uv2→uv1 for the yaw-error estimator, same batch
+            A = np.asarray(fit_b(jnp.asarray(uv2), jnp.asarray(uv1),
+                                 jnp.asarray(msk.astype(np.float32))))
+            for bi, k in enumerate(group):
+                z = pts[bi][msk[bi], 2]
+                if len(z):
+                    results[k] = (float(-z.mean()), float(z.std()),
+                                  float(dists[bi]))
+                    affines[k] = A[bi]
+    return results, affines
+
+
 def requalify_pairs(proj, smart: SmartState, std_cutoff=50.0):
     """Re-triangulate every matched pair with the (corrected) poses and
     discard pairs whose surface stddev still exceeds the cutoff — the
     reference's bad-geometry rejection (matcher.py:996-1005), run after
-    yaw-error correction so heading bias doesn't condemn good pairs."""
-    n_drop = 0
+    yaw-error correction so heading bias doesn't condemn good pairs.
+    Batched: a few device calls for the whole mission."""
+    name_idx = {im.name: im for im in proj.image_list}
+    pair_list = []
     for i1 in proj.image_list:
         for other in list(i1.match_list.keys()):
-            i2 = proj.image_by_name(other)
+            i2 = name_idx.get(other)
             if i2 is None or not i1.match_list[other]:
                 continue
-            avg, std, dist_m = estimate_surface_elevation(proj, i1, i2)
-            if avg is None:
-                continue
-            smart.update_surface_pair(i1.name, i2.name, avg, std, dist_m)
-            if std >= std_cutoff:
-                log("Matches suspect, big surface std:", i1.name, i2.name,
-                    "%.1f" % std, "- discarding pair")
-                i1.match_list[other] = []
-                i2.match_list[i1.name] = []
-                i1.matches_clean = False
-                i2.matches_clean = False
-                n_drop += 1
+            if i1.name < other:  # each pair once
+                pair_list.append((i1, i2))
+    stats, _ = pair_surface_stats_batched(proj, pair_list)
+    n_drop = 0
+    for (i1, i2), st in zip(pair_list, stats):
+        if st is None:
+            continue
+        avg, std, dist_m = st
+        smart.update_surface_pair(i1.name, i2.name, avg, std, dist_m)
+        if std >= std_cutoff:
+            log("Matches suspect, big surface std:", i1.name, i2.name,
+                "%.1f" % std, "- discarding pair")
+            i1.match_list[i2.name] = []
+            i2.match_list[i1.name] = []
+            i1.matches_clean = False
+            i2.matches_clean = False
+            n_drop += 1
     for im in proj.image_list:
         if not im.matches_clean:
             im.save_matches()
@@ -293,3 +375,53 @@ def update_pair(proj, smart: SmartState, i1, i2):
     if res is not None:
         smart.update_yaw_pair(i1.name, i2.name, *res)
     return avg, std
+
+
+def _yaw_from_affine(proj, i1, i2, A):
+    """Yaw-error math given a precomputed uv2→uv1 similarity (the host trig
+    half of estimate_yaw_error)."""
+    from ..core.transforms import decompose_affine_2d
+
+    _, tx, ty, _, _ = (float(x) for x in decompose_affine_2d(A))
+    weight = abs(ty / tx) if abs(ty) > 0 and tx != 0 else abs(tx)
+    ned1, _, _ = i1.get_camera_pose()
+    ned2, _, _ = i2.get_camera_pose()
+    diff = np.asarray(ned2) - np.asarray(ned1)
+    dist = float(np.linalg.norm(diff))
+    if dist < 1e-6:
+        return None
+    dirv = diff / dist
+    crs_gps = (90 - atan2(dirv[0], dirv[1]) * R2D) % 360
+    w = int(proj.camera.get("width_px", 0))
+    h = int(proj.camera.get("height_px", 0))
+    c = np.array([w * 0.5, h * 0.5, 1.0])
+    newc = np.asarray(A) @ c
+    cdiff = [newc[0] - c[0], c[1] - newc[1]]
+    crs_aff = 90 - atan2(cdiff[1], cdiff[0]) * R2D
+    _, air_ypr1, _ = i1.get_aircraft_pose()
+    yaw_error = crs_gps - (air_ypr1[0] + crs_aff)
+    while yaw_error < -180:
+        yaw_error += 360
+    while yaw_error > 180:
+        yaw_error -= 360
+    return yaw_error, dist, crs_aff, weight
+
+
+def update_pairs_batched(proj, smart: SmartState, pair_list):
+    """Surface + yaw updates for many freshly matched pairs with a few
+    device calls (replaces per-pair update_pair at mission scale, where the
+    per-pair dispatch round trips dominate Step 3a wall-clock)."""
+    pair_list = [(i1, i2) for i1, i2 in pair_list
+                 if i1.match_list.get(i2.name)]
+    if not pair_list:
+        return
+    stats, affines = pair_surface_stats_batched(proj, pair_list)
+    for (i1, i2), st, A in zip(pair_list, stats, affines):
+        if st is None:
+            continue
+        avg, std, dist_m = st
+        smart.update_surface_pair(i1.name, i2.name, avg, std, dist_m)
+        if A is not None:
+            res = _yaw_from_affine(proj, i1, i2, A)
+            if res is not None:
+                smart.update_yaw_pair(i1.name, i2.name, *res)

@@ -231,3 +231,31 @@ def test_store_path_matches_host_path(processed):
         # (uint8 vs f32 rounding can flip a handful of marginal RANSAC calls)
         inter = len({tuple(p) for p in got} & {tuple(p) for p in want})
         assert inter > 0.9 * max(len(want), 1), (i, j, len(got), len(want))
+
+
+def test_orb_detector_pipeline(tmp_path):
+    """The ORB path (binary descriptors → unpacked-bit Hamming) matches and
+    reconstructs the mission too."""
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path / "orb")
+    m = SyntheticMission(proj_dir, n_images=4, img_size=(640, 480),
+                         altitude=90.0, spacing=10.0, seed=13)
+    m.generate()
+    db = str(tmp_path / "cams")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--detector", "ORB",
+                       "--max-features", "2000", "--scale", "1.0",
+                       "--ground", "0.0", "--batch-size", "2",
+                       "--min-chain-len", "2"])
+    assert rc == 0
+    proj = ProjectMgr(proj_dir)
+    proj.load_images_info()
+    truth = m.true_camera_ned(ref_lla=proj.ned_reference_lla())
+    for i, im in enumerate(proj.image_list):
+        ned, _, _ = im.get_camera_pose(opt=True)
+        assert np.linalg.norm(np.asarray(ned) - truth[i]) < 3.0
