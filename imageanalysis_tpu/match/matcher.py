@@ -211,7 +211,9 @@ class BatchMatcher:
         (0, 0) pairs whose results are discarded."""
         cfg = self.config
         images = self.proj.image_list
-        B = cfg.batch_size
+        # store batches cost no host assembly, so go wide: fewer dispatches
+        # matter more than per-batch memory (64 × npad × 128 bf16 ≈ 16 MB)
+        B = max(cfg.batch_size, 64)
         it = range(0, len(pairs), B)
         if progress:
             try:

@@ -287,6 +287,11 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
     for npad, idxs in buckets.items():
         for s in range(0, len(idxs), chunk):
             group = idxs[s:s + chunk]
+            # pad the group to the full chunk (repeat the last pair, ignore
+            # extras): every (npad, B) shape variant costs a fresh XLA
+            # compile — ~60-90 s each through the remote-compile tunnel
+            n_real = len(group)
+            group = group + [group[-1]] * (chunk - n_real)
             B = len(group)
             uv1 = np.zeros((B, npad, 2), np.float32)
             uv2 = np.zeros((B, npad, 2), np.float32)
@@ -319,7 +324,7 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
             # similarity uv2→uv1 for the yaw-error estimator, same batch
             A = np.asarray(fit_b(jnp.asarray(uv2), jnp.asarray(uv1),
                                  jnp.asarray(msk.astype(np.float32))))
-            for bi, k in enumerate(group):
+            for bi, k in enumerate(group[:n_real]):
                 z = pts[bi][msk[bi], 2]
                 if len(z):
                     results[k] = (float(-z.mean()), float(z.std()),
