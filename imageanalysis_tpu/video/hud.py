@@ -28,10 +28,15 @@ WHITE = (240, 240, 240)
 
 
 class HUD:
-    def __init__(self, cam: VirtualCamera, color=GREEN, line_width=2):
+    def __init__(self, cam: VirtualCamera, color=GREEN, line_width=2,
+                 style="classic"):
+        """style: 'classic' (reference hud.py) or 'glass' (hud_glass.py) —
+        glass draws filled translucent tapes/boxes and a sky-pointer roll
+        indicator instead of bare line symbology."""
         self.cam = cam
         self.color = color
         self.lw = line_width
+        self.style = style
         # current state
         self.ned = np.zeros(3)
         self.quat = np.array([1.0, 0, 0, 0])
@@ -76,9 +81,64 @@ class HUD:
         self.draw_horizon(frame, cv2)
         self.draw_pitch_ladder(frame, cv2)
         self.draw_heading(frame, cv2)
-        self.draw_tapes(frame, cv2)
+        if self.style == "glass":
+            self.draw_tapes_glass(frame, cv2)
+            self.draw_roll_indicator(frame, cv2)
+        else:
+            self.draw_tapes(frame, cv2)
         self.draw_flight_path_marker(frame, cv2)
         return frame
+
+    def draw_tapes_glass(self, frame, cv2):
+        """Glass-cockpit style: translucent filled tape strips with a value
+        box and pointer (reference hud_glass.py:34-1600 tape family)."""
+        h, w = frame.shape[:2]
+        cy = h // 2
+        overlay = frame.copy()
+        for side, value, label in ((0, self.airspeed, "SPD"),
+                                   (1, self.altitude, "ALT")):
+            x0 = 16 if side == 0 else w - 86
+            cv2.rectangle(overlay, (x0, cy - 120), (x0 + 70, cy + 120),
+                          (40, 40, 40), -1)
+            for dv in range(-25, 30, 5):
+                v = (round(value / 5) * 5) + dv
+                if v < 0:
+                    continue
+                y = int(cy - (v - value) * 4)
+                if cy - 110 < y < cy + 110:
+                    cv2.line(overlay, (x0 + 54, y), (x0 + 66, y), WHITE, 1)
+                    cv2.putText(overlay, "%d" % v, (x0 + 6, y + 4),
+                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, WHITE, 1)
+            cv2.rectangle(overlay, (x0 - 2, cy - 14), (x0 + 70, cy + 14),
+                          (0, 0, 0), -1)
+            cv2.rectangle(overlay, (x0 - 2, cy - 14), (x0 + 70, cy + 14),
+                          WHITE, 1)
+            cv2.putText(overlay, "%.0f" % value, (x0 + 6, cy + 7),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, WHITE, 2)
+            cv2.putText(overlay, label, (x0 + 8, cy - 126),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, WHITE, 1)
+        cv2.addWeighted(overlay, 0.65, frame, 0.35, 0, dst=frame)
+
+    def draw_roll_indicator(self, frame, cv2):
+        """Sky-pointer roll arc at the top (hud_glass.py bank indicator)."""
+        h, w = frame.shape[:2]
+        cx = w // 2
+        cyc = 110
+        radius = 70
+        for ang in (-60, -45, -30, -20, -10, 0, 10, 20, 30, 45, 60):
+            a = math.radians(ang - 90)
+            x1 = int(cx + radius * math.cos(a))
+            y1 = int(cyc + radius * math.sin(a))
+            ln = 10 if ang % 30 == 0 else 6
+            x2 = int(cx + (radius - ln) * math.cos(a))
+            y2 = int(cyc + (radius - ln) * math.sin(a))
+            cv2.line(frame, (x1, y1), (x2, y2), self.color, 1)
+        roll = self.ypr[2]
+        a = math.radians(-roll - 90)
+        px = int(cx + (radius - 14) * math.cos(a))
+        py = int(cyc + (radius - 14) * math.sin(a))
+        cv2.drawMarker(frame, (px, py), self.color,
+                       cv2.MARKER_TRIANGLE_UP, 12, 2)
 
     def draw_horizon(self, frame, cv2):
         """True horizon: points at zero elevation angle, far away
@@ -177,7 +237,7 @@ class HUD:
 
 
 def overlay_video(video_path, out_path, cam: VirtualCamera, state_fn,
-                  max_frames=None, alpha=1.0):
+                  max_frames=None, alpha=1.0, style="classic"):
     """Render the HUD over a flight video (reference 2-gen-hud-overlay.py).
 
     state_fn(time_s) → dict(ned, quat, ypr_deg[, vel_ned, airspeed,
@@ -194,7 +254,7 @@ def overlay_video(video_path, out_path, cam: VirtualCamera, state_fn,
     cam.scale_to(W, H)
     writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
                              fps, (W, H))
-    hud = HUD(cam)
+    hud = HUD(cam, style=style)
     idx = 0
     while True:
         ret, frame = cap.read()

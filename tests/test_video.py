@@ -145,3 +145,28 @@ def test_hud_overlay(rotating_video, tmp_path):
     # HUD drew something green-ish
     greens = (frame[..., 1].astype(int) - frame[..., 0]) > 60
     assert greens.sum() > 200
+
+
+def test_hud_glass_style(rotating_video, tmp_path):
+    from imageanalysis_tpu.video import camera as vc, hud as hud_mod
+
+    video_path, fps, _ = rotating_video
+    cam = vc.VirtualCamera({
+        "K": [500.0, 0, 240, 0, 500.0, 240, 0, 0, 1],
+        "dist_coeffs": [0] * 5, "width_px": 480, "height_px": 480})
+
+    def state_fn(t):
+        import numpy as np
+        from imageanalysis_tpu.core import rotations as rot
+        q = np.asarray(rot.quat_from_ypr(0.1, 0.05, np.radians(12.0)))
+        return dict(ned=[t * 20.0, 0, -120.0], quat=q,
+                    ypr_deg=(np.degrees(0.1), np.degrees(0.05), 12.0),
+                    vel_ned=[20.0, 0, 0])
+
+    out = str(tmp_path / "glass.mp4")
+    n = hud_mod.overlay_video(video_path, out, cam, state_fn, max_frames=5,
+                              style="glass")
+    assert n == 5
+    cap = cv2.VideoCapture(out)
+    ret, frame = cap.read()
+    assert ret and frame.std() > 10
