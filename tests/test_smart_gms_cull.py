@@ -173,3 +173,110 @@ def test_yaw_error_correction_pipeline(tmp_path):
     applied = [e for e in errs if abs(e) > 1.0]
     assert len(applied) >= 3, errs
     assert np.median([e for e in errs if e]) < -4.0, errs
+
+
+class _CullProj:
+    """Minimal ProjectMgr stand-in for the 4c cull estimators."""
+
+    class _Img:
+        def __init__(self, name, ned):
+            self.name = name
+            self._ned = ned
+
+        def has_opt_pose(self):
+            return True
+
+        def get_camera_pose(self, opt=False):
+            return list(self._ned), None, [1.0, 0.0, 0.0, 0.0]
+
+    def __init__(self, cam_neds):
+        self.image_list = [self._Img(f"img{i}", n)
+                           for i, n in enumerate(cam_neds)]
+
+
+def _chain(pt, obs):
+    return [list(pt), -1] + [[img, [float(u), float(v)]]
+                             for img, (u, v) in obs]
+
+
+def test_cull_depth_outliers():
+    """4c-by-depth: a chain triangulated far from the per-image mean
+    depth is marked (reference 4c-by-depth.py:66-130)."""
+    from imageanalysis_tpu.apps import cull
+
+    cams = [[i * 10.0, 0.0, -100.0] for i in range(4)]
+    proj = _CullProj(cams)
+    matches = []
+    rng = np.random.default_rng(0)
+    for k in range(30):
+        x = rng.uniform(0, 30)
+        y = rng.uniform(-5, 5)
+        matches.append(_chain([x, y, rng.normal(0, 1)],
+                              [(k % 3, (10, 10)), (k % 3 + 1, (20, 20))]))
+    # outlier: point "below ground" by 300 m → depth ~400 vs ~100
+    matches.append(_chain([15.0, 0.0, 300.0], [(1, (5, 5)), (2, (6, 6))]))
+    marked = cull.mark_depth_outliers(proj, matches, stddev=3.0)
+    assert len(matches) - 1 in marked
+    assert len(marked) <= 2
+
+
+def test_cull_movers_small_angle_pairs():
+    """4c-movers: colocated camera pair (tiny subtended angles) has all
+    its observations marked; a well-separated pair does not."""
+    from imageanalysis_tpu.apps import cull
+
+    # cams 0,1 colocated (0.1 m apart); cams 2,3 separated by 40 m
+    proj = _CullProj([[0, 0, -100], [0.1, 0, -100],
+                      [100, 0, -100], [140, 0, -100]])
+    matches = []
+    for k in range(10):
+        matches.append(_chain([k, 0, 0], [(0, (1, 1)), (1, (2, 2))]))
+        matches.append(_chain([100 + k, 0, 0], [(2, (1, 1)), (3, (2, 2))]))
+    marked = cull.mark_movers(proj, matches, avg_cutoff_deg=5.0)
+    marked_set = set(marked)
+    for mi, m in enumerate(matches):
+        imgs = {o[0] for o in m[2:]}
+        if imgs == {0, 1}:
+            assert (mi, 0) in marked_set and (mi, 1) in marked_set
+        else:
+            assert (mi, 0) not in marked_set
+
+
+def test_cull_colocated_cams():
+    """4c-colocated-cams: pairs with degenerate angle stats are culled."""
+    from imageanalysis_tpu.apps import cull
+
+    proj = _CullProj([[0, 0, -100], [0.2, 0, -100],
+                      [100, 0, -100], [140, 0, -100]])
+    matches = []
+    for k in range(10):
+        matches.append(_chain([k, 0, 0], [(0, (1, 1)), (1, (2, 2))]))
+        matches.append(_chain([100 + k, 0, 0], [(2, (1, 1)), (3, (2, 2))]))
+    marked = cull.mark_colocated_cams(proj, matches)
+    bad = {mi for mi, _ in marked}
+    good_pairs = [mi for mi, m in enumerate(matches)
+                  if {o[0] for o in m[2:]} == {2, 3}]
+    assert all(mi not in bad for mi in good_pairs)
+    coloc = [mi for mi, m in enumerate(matches)
+             if {o[0] for o in m[2:]} == {0, 1}]
+    assert all(mi in bad for mi in coloc)
+
+
+def test_cull_surface_outliers():
+    """4c-surface-outliers1: a spike point above the local surface is
+    removed; smooth terrain survives."""
+    from imageanalysis_tpu.apps import cull
+
+    rng = np.random.default_rng(3)
+    matches = []
+    for i in range(12):
+        for j in range(12):
+            z = rng.normal(0, 0.3)
+            matches.append(_chain([i * 5.0, j * 5.0, z],
+                                  [(0, (1, 1)), (1, (2, 2))]))
+    # 50 m spike (NED z negative is up; reference uses up = -ned[2])
+    matches.append(_chain([27.0, 27.0, -50.0], [(0, (3, 3)), (1, (4, 4))]))
+    out, n = cull.cull_surface_outliers(matches, stddev=5.0)
+    assert n >= 1
+    assert all(abs(m[0][2]) < 10 for m in out)
+    assert len(out) >= 140
