@@ -45,7 +45,8 @@ def build_parser():
                    choices=["traditional", "smart", "bestratio", "bruteforce"])
     p.add_argument("--match-ratio", type=float, default=0.75)
     p.add_argument("--filter", default="homography",
-                   choices=["homography", "fundamental", "essential", "none"])
+                   choices=["homography", "fundamental", "essential",
+                            "essential5", "none"])
     p.add_argument("--min-chain-len", type=int, default=3)
     p.add_argument("--ground", type=float,
                    help="flat ground elevation (m MSL) instead of SRTM")

@@ -39,7 +39,11 @@ class MatchConfig:
                  use_pallas=None, seed=42):
         self.strategy = strategy
         self.ratio = match_ratio if match_ratio is not None else ratio
-        self.transform = transform          # homography|fundamental|essential|none
+        # homography|fundamental|essential|essential5|none — essential5 is
+        # the host Nistér/Stewénius 5-point (ops/essential5), planar-safe
+        # where the device 8-point degenerates (reference matcher.py:126
+        # uses cv2.findEssentialMat = 5-point)
+        self.transform = transform
         self.min_pairs = min_pairs          # reference matcher.py:131 (25)
         self.filter_thresh = filter_thresh  # None → w^0.25 (reference matcher.py:121)
         self.batch_size = batch_size
@@ -127,6 +131,34 @@ class BatchMatcher:
         if image.uv_list is None:
             self.proj.undistort_image_keypoints(image)
 
+    def _dev_transform(self):
+        """Transform applied inside the jitted device call; essential5 runs
+        as a host post-filter instead."""
+        return "none" if self.config.transform == "essential5" else \
+            self.config.transform
+
+    def _post_filter(self, i1, i2, rows, cols):
+        """Host-side 5-point essential refilter of device 2-NN survivors."""
+        if self.config.transform != "essential5" or len(rows) < 8:
+            return rows, cols
+        from ..ops import essential5
+
+        if i1.uv_list is None or i1.kp is None:
+            self._prepare(i1)
+        if i2.uv_list is None or i2.kp is None:
+            self._prepare(i2)
+        K = np.asarray(self.K, np.float64)
+        Kinv = np.linalg.inv(K)
+        uv1 = i1.uv_list[rows]
+        uv2 = i2.uv_list[cols]
+        q1 = (np.c_[uv1, np.ones(len(uv1))] @ Kinv.T)[:, :2]
+        q2 = (np.c_[uv2, np.ones(len(uv2))] @ Kinv.T)[:, :2]
+        f = 0.5 * (K[0, 0] + K[1, 1])
+        _, inl, _ = essential5.ransac_essential_5pt(
+            q1, q2, thresh=(self.thresh / f) ** 2, n_hyp=128,
+            seed=self.config.seed)
+        return rows[inl], cols[inl]
+
     def match_pairs(self, pairs, progress=True):
         """pairs: list of (i, j) image indices. Fills image.match_list both
         directions like the reference (matcher.py:975-985)."""
@@ -184,7 +216,8 @@ class BatchMatcher:
                 jnp.asarray(desc_a), jnp.asarray(desc_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
                 jnp.asarray(n_a), jnp.asarray(n_b), keys, self.K,
-                ratio=cfg.ratio, thresh=self.thresh, transform=cfg.transform,
+                ratio=cfg.ratio, thresh=self.thresh,
+                transform=self._dev_transform(),
                 n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=cfg.bf16)
             best_j = np.asarray(best_j)
             ok = np.asarray(ok)
@@ -192,6 +225,7 @@ class BatchMatcher:
                 i1, i2 = images[i], images[j]
                 rows = np.nonzero(ok[bi])[0]
                 cols = best_j[bi, rows]
+                rows, cols = self._post_filter(i1, i2, rows, cols)
                 if len(rows) < self.config.min_pairs:
                     # too few survivors — record empty result (reference
                     # matcher.py:129-136 discards < 25 inliers)
@@ -237,20 +271,24 @@ class BatchMatcher:
             keys = jax.random.split(sub, B)
             best_j, ok = match_pair_batch(
                 desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
-                ratio=cfg.ratio, thresh=self.thresh, transform=cfg.transform,
+                ratio=cfg.ratio, thresh=self.thresh,
+                transform=self._dev_transform(),
                 n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
             n_matched += _store_unpack(images, chunk, np.asarray(best_j),
-                                       np.asarray(ok), cfg.min_pairs)
+                                       np.asarray(ok), cfg.min_pairs,
+                                       post_filter=self._post_filter)
         return n_matched
 
 
-def _store_unpack(images, chunk, best_j, ok, min_pairs):
+def _store_unpack(images, chunk, best_j, ok, min_pairs, post_filter=None):
     """Shared result unpacking: dense (best_j, ok) → match_list entries."""
     n_matched = 0
     for bi, (i, j) in enumerate(chunk):
         i1, i2 = images[i], images[j]
         rows = np.nonzero(ok[bi])[0]
         cols = best_j[bi, rows]
+        if post_filter is not None:
+            rows, cols = post_filter(i1, i2, rows, cols)
         if len(rows) < min_pairs:
             rows = rows[:0]
             cols = cols[:0]
