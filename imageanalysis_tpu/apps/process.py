@@ -62,6 +62,9 @@ def build_parser():
                    help="also composite an orthomosaic GeoTIFF in Step 5")
     p.add_argument("--geotiff-res", type=float, default=0.25,
                    help="orthomosaic resolution (m/px)")
+    p.add_argument("--histogram", action="store_true",
+                   help="build neighborhood histogram-matching tables in "
+                        "Step 5 (explorer applies them at texture load)")
     return p
 
 
@@ -259,6 +262,11 @@ def run(args) -> int:
         grps = groups_mod.load(proj.analysis_dir)
         matches = proj.load_matches_grouped()
         build_map.build(proj, matches, grps, group_index=args.group)
+        if args.histogram:
+            from ..render.texture import build_histograms
+            build_histograms(proj)
+            log("histogram-matching tables built (explorer applies them "
+                "at texture load)")
         if args.geotiff:
             from ..render import geotiff
             group_imgs = grps[args.group] if grps else None

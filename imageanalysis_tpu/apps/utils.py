@@ -182,9 +182,32 @@ def cmd_calibrate(args):
     return 0
 
 
+def cmd_histogram(args):
+    """Build + persist the neighborhood histogram-matching tables consumed
+    by the explorer at texture load (reference lib/histogram.py +
+    explorer.py:79)."""
+    from ..io.project import ProjectMgr
+    from ..render.texture import build_histograms
+
+    proj = ProjectMgr(args.project)
+    proj.load_images_info()
+    hists, templates = build_histograms(proj, dist_cutoff=args.dist,
+                                        self_weight=args.self_weight)
+    print(f"histogram tables for {len(templates)} images saved to "
+          f"{proj.analysis_dir}/histogram.pickle")
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="imageanalysis-utils")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("histogram",
+                       help="build explorer histogram-matching tables")
+    s.add_argument("project")
+    s.add_argument("--dist", type=float, default=40.0)
+    s.add_argument("--self-weight", type=float, default=0.1)
+    s.set_defaults(fn=cmd_histogram)
 
     s = sub.add_parser("new-camera")
     s.add_argument("image")

@@ -23,6 +23,8 @@ def image_histogram_rgb(proj, image, scale=0.25):
 
     rgb = cv2.imread(proj.image_path(image),
                      flags=cv2.IMREAD_ANYCOLOR | cv2.IMREAD_IGNORE_ORIENTATION)
+    if rgb.ndim == 2:
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_GRAY2BGR)
     scaled = cv2.resize(rgb, (0, 0), fx=scale, fy=scale)
     chans = cv2.split(scaled)  # b, g, r order from cv2
     return tuple(np.bincount(c.ravel(), minlength=256).astype(np.float32)

@@ -259,3 +259,63 @@ def test_orb_detector_pipeline(tmp_path):
     for i, im in enumerate(proj.image_list):
         ned, _, _ = im.get_camera_pose(opt=True)
         assert np.linalg.norm(np.asarray(ned) - truth[i]) < 3.0
+
+
+def test_explorer_texture_pipeline(processed, tmp_path):
+    """Full-res texture paging + LRU + histogram matching + filters +
+    reticle (reference explorer.py:229-307, 386-689; explore/reticle.py;
+    explore/myshader.frag)."""
+    from imageanalysis_tpu.apps.explorer import Explorer
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.render import texture as tex_mod
+    from imageanalysis_tpu.render import histogram as hist_mod
+
+    m = processed
+    proj = ProjectMgr(m.project_dir)
+    proj.load_images_info()
+
+    # build histogram-matching tables, then reload through the manager
+    tex_mod.build_histograms(proj)
+    assert os.path.isfile(os.path.join(proj.analysis_dir,
+                                       "histogram.pickle"))
+    tm = tex_mod.TextureManager(proj)
+    assert tm.templates is not None and len(tm.templates) == m.n_images
+
+    # base texture: corrected 512²
+    name = proj.image_list[0].name
+    base = tm.load_base(name)
+    assert base is not None and base.shape == (512, 512, 3)
+
+    # full-res paging + LRU semantics
+    full = tm.load_full(name)
+    assert full is not None
+    assert full.shape[0] > 512 or full.shape[1] > 512
+    for i in range(m.n_images):
+        tm.load_full(proj.image_list[i].name)
+    assert len(tm.tcache) <= tm.CACHE_SIZE
+    # re-request refreshes the timestamp (LRU hit, no reload)
+    t0 = tm.tcache[proj.image_list[1].name][1]
+    tm.load_full(proj.image_list[1].name)
+    assert tm.tcache[proj.image_list[1].name][1] >= t0
+
+    # histogram matching actually changes pixel statistics toward template
+    img = tm.load_full(name)
+    assert img.dtype == np.uint8 and np.isfinite(img).all()
+
+    # every shader filter produces a valid image
+    for mode in tex_mod.FILTERS:
+        out = tex_mod.apply_filter(base, mode)
+        assert out.shape == base.shape and out.dtype == np.uint8
+
+    # explorer renders with full-res top image + reticle
+    ex = Explorer(m.project_dir)
+    out = str(tmp_path / "mosaic_fullres.png")
+    drawn = ex.render_to(out, full_res_top=True, reticle=True)
+    assert drawn >= m.n_images - 1
+    assert os.path.getsize(out) > 20000
+    # a full-res texture got paged into the LRU by the render
+    assert len(ex.textures.tcache) >= 1
+    # top-image selection returns a model under the view center
+    names = ex._model_names()
+    top = ex.select_top(names, (0.0, 0.0))
+    assert top in names
