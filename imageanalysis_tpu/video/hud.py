@@ -2,13 +2,15 @@
 
 Reference video/hud.py:27-1034 (+ hud_glass.py variant): all symbology is
 drawn by projecting NED-space geometry through K·[R|t] for the current
-aircraft state (hud.py:214-222) — horizon line, pitch ladders, heading
-bug/compass, airspeed & altitude tapes, flight-path marker — then alpha
-blending over the frame.
+aircraft state (hud.py:214-222), split into conformal symbols (stick to
+the world: horizon, compass points, sun/moon, airports, flight track,
+feature points, pitch ladder, velocity vector — hud.py:987-1002) and
+fixed symbols (tapes, sticks, time — hud.py:1003-1023), plus autopilot
+symbology (nose when manual; flight-director vbars, heading bug, bird and
+course when auto — hud.py:1025-1032).
 
-This implements the core instrument set with the same projection math; the
-decorative variants (glass-style tapes, sun/moon via ephem, airport
-database) are gated extensions.
+Sun/moon come from video/ephemeris.py (Meeus formulas — the reference
+uses pyephem, hud.py:189-213); airports from video/airports.py.
 """
 
 from __future__ import annotations
@@ -44,6 +46,30 @@ class HUD:
         self.vel_ned = np.zeros(3)
         self.airspeed = 0.0
         self.altitude = 0.0
+        # optional state for the extended symbology (each symbol only
+        # draws when its data has been supplied, like the reference)
+        self.lla = None                 # [lat, lon, alt]
+        self.ref_lla = None             # ned reference [lat, lon, alt]
+        self.unixtime = None
+        self.time = None
+        self.ned_history = []           # [(t, ned)] for draw_track
+        self.history_seconds = 60.0
+        self.features = []              # ned points for draw_features
+        self.airports = []              # [ident, lat, lon, alt]
+        self.flight_mode = None         # 'manual' | 'auto'
+        self.ap_roll = 0.0
+        self.ap_pitch = 0.0
+        self.ap_hdg = 0.0
+        self.ap_speed = 0.0
+        self.ap_alt = 0.0
+        self.pilot_stick = None         # (ail, ele, thr, rud)
+        self.act_stick = None
+        self.alpha_beta = None          # (alpha_rad, beta_rad)
+        self.ground_m = 0.0
+        self.show_compass = False
+        self.show_grid = False
+        self._grid_pts = []
+        self._vel_filt = np.zeros(3)
 
     def update_state(self, ned, quat, ypr_deg, vel_ned=None, airspeed=None,
                      altitude=None):
@@ -55,6 +81,59 @@ class HUD:
         self.airspeed = airspeed if airspeed is not None else \
             float(np.linalg.norm(self.vel_ned))
         self.altitude = altitude if altitude is not None else -self.ned[2]
+
+    # -- extended-state updaters (reference hud.py:104-188) ----------------
+    def set_ned_ref(self, lat_deg, lon_deg, alt_m=0.0):
+        self.ref_lla = [float(lat_deg), float(lon_deg), float(alt_m)]
+
+    def update_lla(self, lla):
+        self.lla = [float(v) for v in lla]
+
+    def update_time(self, time_s, unixtime=None):
+        self.time = float(time_s)
+        if unixtime is not None:
+            self.unixtime = float(unixtime)
+
+    def update_ned_history(self, t, ned):
+        """Keep the last history_seconds of positions (hud.py:130-139)."""
+        self.ned_history.append((float(t), np.asarray(ned, float)))
+        cutoff = float(t) - self.history_seconds
+        while self.ned_history and self.ned_history[0][0] < cutoff:
+            self.ned_history.pop(0)
+
+    def update_features(self, feature_list):
+        self.features = [np.asarray(f, float) for f in feature_list]
+
+    def load_airports(self, path, range_m=30000.0):
+        from . import airports as apt_mod
+
+        if self.ref_lla is None:
+            raise ValueError("set_ned_ref before load_airports")
+        self.airports = apt_mod.load(path, self.ref_lla, range_m)
+
+    def update_ap(self, flight_mode, ap_roll=0.0, ap_pitch=0.0, ap_hdg=0.0,
+                  ap_speed=0.0, ap_alt=0.0):
+        self.flight_mode = flight_mode
+        self.ap_roll = ap_roll
+        self.ap_pitch = ap_pitch
+        self.ap_hdg = ap_hdg
+        self.ap_speed = ap_speed
+        self.ap_alt = ap_alt
+
+    def update_pilot(self, aileron, elevator, throttle, rudder):
+        self.pilot_stick = (aileron, elevator, throttle, rudder)
+
+    def update_act(self, aileron, elevator, throttle, rudder):
+        self.act_stick = (aileron, elevator, throttle, rudder)
+
+    def update_airdata(self, airspeed=None, altitude=None, alpha_rad=None,
+                       beta_rad=None):
+        if airspeed is not None:
+            self.airspeed = airspeed
+        if altitude is not None:
+            self.altitude = altitude
+        if alpha_rad is not None or beta_rad is not None:
+            self.alpha_beta = (alpha_rad or 0.0, beta_rad or 0.0)
 
     # -- projection helpers (reference hud.py:214-222) --------------------
     def project(self, points_ned):
@@ -74,20 +153,328 @@ class HUD:
             pts.append(self.ned + [n, e, dwn])
         return np.asarray(pts)
 
+    def _pt(self, ned, frame):
+        """Project one NED point → integer (u, v) or None (hud.py:214-222).
+        Culls points far outside the frame like the reference render-window
+        checks."""
+        uv = self.project(np.asarray(ned, float)[None])
+        if np.isnan(uv).any():
+            return None
+        h, w = frame.shape[:2]
+        u, v = float(uv[0, 0]), float(uv[0, 1])
+        if u < -w * 0.25 or u > w * 1.25 or v < -h * 0.25 or v > h * 1.25:
+            return None
+        return (int(round(u)), int(round(v)))
+
+    def _ladder_uv(self, frame, yaw_rad, pitch_deg, dyaw_deg):
+        """Point 1000 m out at the given pitch/horizontal angle relative to
+        the given azimuth (reference ladder_helper, hud.py:246-254)."""
+        pitch = pitch_deg * D2R
+        yaw = yaw_rad + dyaw_deg * D2R
+        d = 1000.0
+        ned = self.ned + [d * math.cos(pitch) * math.cos(yaw),
+                          d * math.cos(pitch) * math.sin(yaw),
+                          -d * math.sin(pitch)]
+        return self._pt(ned, frame)
+
+    @staticmethod
+    def _rotate_pt(p, center, angle_rad):
+        """Rotate an image point about a center (hud.py:369-374)."""
+        ca, sa = math.cos(angle_rad), math.sin(angle_rad)
+        x = p[0] - center[0]
+        y = p[1] - center[1]
+        return (int(round(center[0] + ca * x - sa * y)),
+                int(round(center[1] + sa * x + ca * y)))
+
+    def draw_label(self, frame, cv2, label, uv, scale=0.5, horiz="center",
+                   vert="center", color=None):
+        size = cv2.getTextSize(label, cv2.FONT_HERSHEY_SIMPLEX, scale,
+                               self.lw)
+        u = uv[0] - (size[0][0] // 2 if horiz == "center" else 0)
+        v = uv[1] + (size[0][1] if vert == "below"
+                     else size[0][1] // 2 if vert == "center" else 0)
+        cv2.putText(frame, label, (int(u), int(v)), cv2.FONT_HERSHEY_SIMPLEX,
+                    scale, color or self.color, self.lw, cv2.LINE_AA)
+
+    def draw_ned_point(self, frame, cv2, ned, label=None, scale=1.0,
+                       vert="above"):
+        """Labeled world point (hud.py:521-532)."""
+        uv = self._pt(ned, frame)
+        if uv is not None:
+            cv2.circle(frame, uv, 4 + self.lw, self.color, self.lw,
+                       cv2.LINE_AA)
+        if label:
+            off = -0.02 if vert == "above" else 0.02
+            uv2 = self._pt([ned[0], ned[1], ned[2] + off], frame)
+            if uv2 is not None:
+                self.draw_label(frame, cv2, label, uv2, scale, vert=vert)
+
+    def draw_lla_point(self, frame, cv2, lla, label):
+        """Labeled geographic point with distance callout when within
+        10 sm (hud.py:534-557)."""
+        if self.ref_lla is None:
+            return
+        pt = geodesy.lla2ned(lla[0], lla[1], lla[2], *self.ref_lla)
+        rel = np.asarray(pt, float) - self.ned
+        hdist = math.hypot(rel[0], rel[1])
+        dist = float(np.linalg.norm(rel))
+        hdist_sm = hdist * 0.000621371
+        if hdist_sm > 10.0 or dist < 1e-6:
+            return
+        scale = 0.7 - (hdist_sm / 10.0) * 0.4
+        if hdist_sm <= 7.5:
+            label += " (%.1f)" % hdist_sm
+        rel /= dist
+        self.draw_ned_point(frame, cv2, self.ned + rel, label, scale=scale,
+                            vert="below")
+
     # -- drawing ----------------------------------------------------------
     def draw(self, frame):
         import cv2
 
+        # conformal symbols (hud.py:987-1002)
         self.draw_horizon(frame, cv2)
+        if self.show_compass:
+            self.draw_compass_points(frame, cv2)
+        if self.unixtime is not None and self.lla is not None:
+            self.draw_astro(frame, cv2)
+        if self.airports:
+            self.draw_airports(frame, cv2)
+        if self.ned_history:
+            self.draw_track(frame, cv2)
+        if self.features:
+            self.draw_features(frame, cv2)
+        if self.show_grid:
+            self.draw_grid(frame, cv2)
         self.draw_pitch_ladder(frame, cv2)
+        if self.alpha_beta is not None:
+            self.draw_alpha_beta_marker(frame, cv2)
         self.draw_heading(frame, cv2)
+        # fixed symbols (hud.py:1003-1023)
         if self.style == "glass":
             self.draw_tapes_glass(frame, cv2)
             self.draw_roll_indicator(frame, cv2)
         else:
             self.draw_tapes(frame, cv2)
+        if self.pilot_stick is not None or self.act_stick is not None:
+            self.draw_sticks(frame, cv2)
+        if self.time is not None:
+            self.draw_time(frame, cv2)
+        # autopilot symbology (hud.py:1025-1032)
+        if self.flight_mode == "manual":
+            self.draw_nose(frame, cv2)
+        elif self.flight_mode == "auto":
+            self.draw_vbars(frame, cv2)
+            self.draw_heading_bug(frame, cv2)
+            self.draw_bird(frame, cv2)
+            self.draw_course(frame, cv2)
         self.draw_flight_path_marker(frame, cv2)
         return frame
+
+    # -- conformal extras ---------------------------------------------------
+    def draw_astro(self, frame, cv2):
+        """Sun, shadow and moon markers (hud.py:594-618 draw_astro)."""
+        from . import ephemeris
+
+        sun, moon = ephemeris.sun_moon_ned(self.lla[1], self.lla[0],
+                                           self.lla[2], self.unixtime)
+        self.draw_ned_point(frame, cv2, self.ned + sun, "Sun")
+        if sun[2] < 0.0:   # shadow point opposite an above-horizon sun
+            self.draw_ned_point(frame, cv2, self.ned - np.asarray(sun),
+                                "shadow", scale=0.7)
+        self.draw_ned_point(frame, cv2, self.ned + moon, "Moon")
+
+    def draw_airports(self, frame, cv2):
+        for apt in self.airports:
+            self.draw_lla_point(frame, cv2, [apt[1], apt[2], apt[3]], apt[0])
+
+    def draw_compass_points(self, frame, cv2):
+        """Unit-distance compass ticks + N/S/E/W labels (hud.py:559-592)."""
+        for i in range(12):
+            a = i * 30.0 * D2R
+            n, e = math.cos(a), math.sin(a)
+            uv1 = self._pt(self.ned + [n, e, 0.0], frame)
+            uv2 = self._pt(self.ned + [n, e, -0.02], frame)
+            if uv1 and uv2:
+                cv2.line(frame, uv1, uv2, self.color, self.lw, cv2.LINE_AA)
+        for label, n, e in (("N", 1, 0), ("S", -1, 0), ("E", 0, 1),
+                            ("W", 0, -1)):
+            uv = self._pt(self.ned + [n, e, -0.03], frame)
+            if uv:
+                self.draw_label(frame, cv2, label, uv, 1.0, vert="above")
+
+    def draw_track(self, frame, cv2):
+        """Flight-track breadcrumbs, sized by distance (hud.py:897-941)."""
+        prev = None
+        for _, ned in self.ned_history:
+            dist = float(np.linalg.norm(self.ned - ned))
+            uv = self._pt(ned, frame) if dist > 5.0 else None
+            if uv is not None:
+                size = max(int(round(200.0 / max(dist, 1e-6))), 2)
+                cv2.circle(frame, uv, size, WHITE, self.lw, cv2.LINE_AA)
+                if prev is not None:
+                    cv2.line(frame, prev, uv, WHITE, 1, cv2.LINE_AA)
+            prev = uv
+
+    def draw_features(self, frame, cv2):
+        """Externally supplied feature points (hud.py:942-956)."""
+        for ned in self.features:
+            uv = self._pt(ned, frame)
+            if uv is not None:
+                cv2.circle(frame, uv, 2, WHITE, self.lw, cv2.LINE_AA)
+
+    def draw_grid(self, frame, cv2):
+        """3-D reference grid in space (hud.py:958-985)."""
+        if not self._grid_pts:
+            h, v = 100, 75
+            for n in range(-500, 501, h):
+                for e in range(-500, 501, h):
+                    for d in range(int(-self.ground_m) - 4 * v,
+                                   int(-self.ground_m) + 1, v):
+                        self._grid_pts.append(np.array([n, e, d], float))
+        for ned in self._grid_pts:
+            dist = float(np.linalg.norm(self.ned - ned))
+            uv = self._pt(ned, frame)
+            if uv is not None:
+                size = max(int(round(1000.0 / max(dist, 1e-6))), 1)
+                cv2.circle(frame, uv, size, WHITE, 1, cv2.LINE_AA)
+
+    def draw_alpha_beta_marker(self, frame, cv2):
+        """Alpha/beta dot relative to the boresight (hud.py:339-367)."""
+        alpha, beta = self.alpha_beta
+        yaw = self.ypr[0] * D2R
+        pitch = self.ypr[1]
+        center = self._ladder_uv(frame, yaw, pitch, 0.0)
+        alpha_uv = self._ladder_uv(frame, yaw, pitch - alpha * R2D,
+                                   beta * R2D)
+        if center is None or alpha_uv is None:
+            return
+        cv2.circle(frame, alpha_uv, 4, self.color, self.lw, cv2.LINE_AA)
+        cv2.line(frame, center, alpha_uv, self.color, 1, cv2.LINE_AA)
+
+    # -- fixed extras -------------------------------------------------------
+    def draw_sticks(self, frame, cv2):
+        """Pilot/actuator stick boxes, auto selects the active source
+        (hud.py:835-874)."""
+        stick = (self.act_stick if self.flight_mode == "auto"
+                 else self.pilot_stick) or (0.0, 0.0, 0.0, 0.0)
+        ail, ele, thr, rud = stick
+        h, w = frame.shape[:2]
+        lx, ly = int(h * 0.1), int(h * 0.8)
+        rx, ry = w - int(h * 0.1), int(h * 0.8)
+        r1 = max(int(round(h * 0.09)), 10)
+        r2 = max(int(round(h * 0.01)), 2)
+        for cx, cy in ((lx, ly), (rx, ry)):
+            cv2.circle(frame, (cx, cy), r1, self.color, self.lw, cv2.LINE_AA)
+            cv2.line(frame, (cx, cy - r1), (cx, cy + r1), self.color, 1,
+                     cv2.LINE_AA)
+            cv2.line(frame, (cx - r1, cy), (cx + r1, cy), self.color, 1,
+                     cv2.LINE_AA)
+        cv2.circle(frame, (lx + int(round(rud * r1)),
+                           ly + r1 - int(round(2 * thr * r1))), r2,
+                   self.color, self.lw, cv2.LINE_AA)
+        cv2.circle(frame, (rx + int(round(ail * r1)),
+                           ry - int(round(ele * r1))), r2,
+                   self.color, self.lw, cv2.LINE_AA)
+
+    def draw_time(self, frame, cv2):
+        """Elapsed-time stamp, lower left (hud.py:876-882)."""
+        h = frame.shape[0]
+        cv2.putText(frame, "%.1f" % self.time, (2, h - 8),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, self.color, self.lw,
+                    cv2.LINE_AA)
+
+    # -- autopilot symbology -------------------------------------------------
+    def draw_nose(self, frame, cv2):
+        """Double circle on the body x-axis (hud.py:623-634)."""
+        yaw = self.ypr[0] * D2R
+        uv = self._ladder_uv(frame, yaw, self.ypr[1], 0.0)
+        if uv is None:
+            return
+        h = frame.shape[0]
+        cv2.circle(frame, uv, max(h // 80, 2), self.color, self.lw,
+                   cv2.LINE_AA)
+        cv2.circle(frame, uv, max(h // 40, 4), self.color, self.lw,
+                   cv2.LINE_AA)
+
+    def draw_vbars(self, frame, cv2):
+        """Flight-director command bars at the AP pitch/roll target
+        (hud.py:376-425)."""
+        color = (211, 85, 186)  # medium orchid (BGR)
+        yaw = self.ypr[0] * D2R
+        a0, a1, a2, a3 = self.ap_pitch, 10.0, 1.5, 3.0
+        rot = self._ladder_uv(frame, yaw, self.ypr[1], 0.0)
+        center0 = self._ladder_uv(frame, yaw, a0, 0.0)
+        if rot is None or center0 is None:
+            return
+        roll = self.ap_roll * D2R
+        center = self._rotate_pt(center0, rot, roll)
+        for sgn in (1, -1):
+            p1 = self._ladder_uv(frame, yaw, a0 - a3, sgn * a1)
+            p2 = self._ladder_uv(frame, yaw, a0 - a3, sgn * (a1 + a3))
+            p3 = self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 + a3))
+            if p1 is None or p2 is None or p3 is None:
+                continue
+            uv1 = self._rotate_pt(p1, rot, roll)
+            uv2 = self._rotate_pt(p2, rot, roll)
+            uv3 = self._rotate_pt(p3, rot, roll)
+            for a, b in ((center, uv1), (center, uv3), (uv1, uv2),
+                         (uv1, uv3), (uv2, uv3)):
+                cv2.line(frame, a, b, color, self.lw, cv2.LINE_AA)
+
+    def draw_heading_bug(self, frame, cv2):
+        """AP heading bug on the horizon (hud.py:427-451)."""
+        color = (211, 85, 186)
+        hdg = self.ap_hdg * D2R
+        pts = [self._ladder_uv(frame, hdg, 0.0, 2.0),
+               self._ladder_uv(frame, hdg, 0.0, -2.0),
+               self._ladder_uv(frame, hdg, 1.5, -2.0),
+               self._ladder_uv(frame, hdg, 1.5, -1.0),
+               self._ladder_uv(frame, hdg, 0.0, 0.0),
+               self._ladder_uv(frame, hdg, 1.5, 1.0),
+               self._ladder_uv(frame, hdg, 1.5, 2.0)]
+        if any(p is None for p in pts):
+            return
+        for i in range(len(pts)):
+            cv2.line(frame, pts[i], pts[(i + 1) % len(pts)], color, self.lw,
+                     cv2.LINE_AA)
+
+    def draw_bird(self, frame, cv2):
+        """Attitude 'bird' wings at current pitch, rolled with the aircraft
+        (hud.py:453-487)."""
+        color = (0, 220, 220)  # yellow-ish (BGR)
+        yaw = self.ypr[0] * D2R
+        a0, a1, a2 = self.ypr[1], 10.0, 3.0
+        center = self._ladder_uv(frame, yaw, a0, 0.0)
+        if center is None:
+            return
+        roll = self.ypr[2] * D2R
+        for sgn in (1, -1):
+            p1 = self._ladder_uv(frame, yaw, a0 - a2, sgn * a1)
+            p2 = self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 - a2))
+            if p1 is None or p2 is None:
+                continue
+            uv1 = self._rotate_pt(p1, center, roll)
+            uv2 = self._rotate_pt(p2, center, roll)
+            cv2.line(frame, center, uv1, color, self.lw, cv2.LINE_AA)
+            cv2.line(frame, center, uv2, color, self.lw, cv2.LINE_AA)
+            cv2.line(frame, uv1, uv2, color, self.lw, cv2.LINE_AA)
+
+    def draw_course(self, frame, cv2):
+        """Ground-course caret on the horizon from filtered velocity
+        (hud.py:488-502)."""
+        color = (0, 220, 220)
+        tf = 0.2
+        self._vel_filt = (1.0 - tf) * self._vel_filt + tf * self.vel_ned
+        if np.linalg.norm(self._vel_filt[:2]) < 0.1:
+            return
+        a = math.atan2(self._vel_filt[1], self._vel_filt[0])
+        uv1 = self._ladder_uv(frame, a, 0.0, 0.0)
+        uv2 = self._ladder_uv(frame, a, 1.5, 1.0)
+        uv3 = self._ladder_uv(frame, a, 1.5, -1.0)
+        if uv1 and uv2 and uv3:
+            cv2.line(frame, uv1, uv2, color, self.lw, cv2.LINE_AA)
+            cv2.line(frame, uv1, uv3, color, self.lw, cv2.LINE_AA)
 
     def draw_tapes_glass(self, frame, cv2):
         """Glass-cockpit style: translucent filled tape strips with a value

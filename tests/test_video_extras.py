@@ -122,3 +122,200 @@ def test_stabilize_video(tmp_path, rng):
         resid = tx - np.polyval(np.polyfit(t, tx, 1), t)
         return resid.std()
     assert jitter(out) < jitter(path) * 0.6
+
+
+# ---------------------------------------------------------------------------
+# Extended HUD symbology (reference hud.py:339-1032) — one frame-render
+# test per instrument group.
+# ---------------------------------------------------------------------------
+
+def _hud_fixture():
+    import numpy as np
+
+    from imageanalysis_tpu.core import rotations as rot
+    from imageanalysis_tpu.video import camera as vc, hud as hud_mod
+
+    cam = vc.VirtualCamera({
+        "K": [500.0, 0, 320, 0, 500.0, 240, 0, 0, 1],
+        "dist_coeffs": [0] * 5, "width_px": 640, "height_px": 480})
+    h = hud_mod.HUD(cam)
+    q = np.asarray(rot.quat_from_ypr(0.0, 0.0, 0.0))
+    h.update_state(ned=[0.0, 0.0, -120.0], quat=q, ypr_deg=(0.0, 0.0, 0.0),
+                   vel_ned=[20.0, 0.0, 0.0])
+    return h
+
+
+def _drawn_pixels(frame):
+    return int((frame.sum(axis=2) > 30).sum())
+
+
+def test_hud_astro_sun_moon():
+    """Sun/moon markers from the Meeus ephemeris (hud.py:189-213, 594-618)."""
+    import datetime
+    import numpy as np
+
+    h = _hud_fixture()
+    base = np.zeros((480, 640, 3), np.uint8)
+    t = datetime.datetime(2023, 6, 21, 18, 0,
+                          tzinfo=datetime.timezone.utc).timestamp()
+    h.update_lla([45.0, -93.0, 300.0])
+    h.update_time(100.0, unixtime=t)
+    h.set_ned_ref(45.0, -93.0, 0.0)
+    # point the boresight straight at the sun so the marker is in-frame
+    from imageanalysis_tpu.core import rotations as rot
+    from imageanalysis_tpu.video import ephemeris as eph
+    sun, _ = eph.sun_moon_ned(-93.0, 45.0, 300.0, t)
+    az = np.degrees(np.arctan2(sun[1], sun[0]))
+    alt = np.degrees(np.arcsin(-sun[2]))
+    q = np.asarray(rot.quat_from_ypr(np.radians(az), np.radians(alt), 0.0))
+    h.update_state(ned=[0.0, 0.0, -120.0], quat=q, ypr_deg=(az, alt, 0.0),
+                   vel_ned=[20.0, 0.0, 0.0])
+    frame = base.copy()
+    h.draw_astro(frame, cv2)
+    # late-afternoon local sun is up and west — something must be drawn
+    assert _drawn_pixels(frame) > 20
+
+    from imageanalysis_tpu.video import ephemeris
+    sun, moon = ephemeris.sun_moon_ned(-93.0, 45.0, 300.0, t)
+    assert sun[2] < 0          # above horizon (NED down negative)
+    assert abs(np.linalg.norm(sun) - 1) < 1e-9
+    assert abs(np.linalg.norm(moon) - 1) < 1e-9
+
+
+def test_hud_airports(tmp_path):
+    """Airport DB load + labeled point rendering (airports.py, hud.py:619)."""
+    import numpy as np
+
+    csv_path = tmp_path / "apt.csv"
+    csv_path.write_text(
+        "Ident,Lat,Lon,Alt\n"
+        "KMSP,44.8820,-93.2218,256\n"
+        "FAR_AWAY,0.0,0.0,10\n")
+    h = _hud_fixture()
+    h.set_ned_ref(44.88, -93.22, 0.0)
+    # aircraft ~800 m south of the airport, high enough that the marker
+    # projects a few degrees below the horizon (visible in-frame)
+    h.update_state(ned=[-800.0, 0.0, -300.0], quat=h.quat,
+                   ypr_deg=(0.0, 0.0, 0.0), vel_ned=[20.0, 0.0, 0.0])
+    h.load_airports(str(csv_path), range_m=30000.0)
+    assert len(h.airports) == 1 and h.airports[0][0] == "KMSP"
+    frame = np.zeros((480, 640, 3), np.uint8)
+    h.draw_airports(frame, cv2)
+    assert _drawn_pixels(frame) > 10
+
+
+def test_hud_track_and_features():
+    """Breadcrumb track + feature overlays (hud.py:897-956)."""
+    import numpy as np
+
+    h = _hud_fixture()
+    # track ahead of the aircraft so it projects in-frame
+    for t in range(20):
+        h.update_ned_history(float(t), [100.0 + 20.0 * t, 5.0 * t, -110.0])
+    h.update_features([[400.0, e * 20.0, 0.0] for e in range(-5, 6)])
+    frame = np.zeros((480, 640, 3), np.uint8)
+    h.draw_track(frame, cv2)
+    n_track = _drawn_pixels(frame)
+    h.draw_features(frame, cv2)
+    assert n_track > 10
+    assert _drawn_pixels(frame) > n_track
+
+
+def test_hud_autopilot_group():
+    """Flight director vbars, heading bug, bird, course (hud.py:376-502) in
+    auto mode; nose circles in manual (hud.py:623-634)."""
+    import numpy as np
+
+    h = _hud_fixture()
+    h.update_ap("auto", ap_roll=10.0, ap_pitch=5.0, ap_hdg=20.0,
+                ap_speed=25.0, ap_alt=150.0)
+    frame = np.zeros((480, 640, 3), np.uint8)
+    h.draw_vbars(frame, cv2)
+    h.draw_heading_bug(frame, cv2)
+    h.draw_bird(frame, cv2)
+    h.draw_course(frame, cv2)
+    assert _drawn_pixels(frame) > 100
+
+    h2 = _hud_fixture()
+    h2.update_ap("manual")
+    frame2 = np.zeros((480, 640, 3), np.uint8)
+    h2.draw_nose(frame2, cv2)
+    assert _drawn_pixels(frame2) > 20
+
+
+def test_hud_sticks_time_compass_alpha_beta():
+    """Fixed symbols: sticks, time, compass points, alpha/beta marker
+    (hud.py:339-367, 559-592, 835-882)."""
+    import numpy as np
+
+    h = _hud_fixture()
+    h.update_pilot(0.3, -0.2, 0.7, 0.1)
+    h.update_time(42.5)
+    h.update_airdata(alpha_rad=0.05, beta_rad=0.02)
+    h.show_compass = True
+    frame = np.zeros((480, 640, 3), np.uint8)
+    h.draw_sticks(frame, cv2)
+    n1 = _drawn_pixels(frame)
+    assert n1 > 100
+    h.draw_time(frame, cv2)
+    h.draw_compass_points(frame, cv2)
+    h.draw_alpha_beta_marker(frame, cv2)
+    assert _drawn_pixels(frame) > n1
+
+
+def test_hud_full_draw_with_everything():
+    """The composed draw() with all optional state set renders every group
+    without error (hud.py:1034 draw)."""
+    import datetime
+    import numpy as np
+
+    h = _hud_fixture()
+    h.update_lla([45.0, -93.0, 300.0])
+    t = datetime.datetime(2023, 6, 21, 18, 0,
+                          tzinfo=datetime.timezone.utc).timestamp()
+    h.update_time(10.0, unixtime=t)
+    h.set_ned_ref(45.0, -93.0, 0.0)
+    h.update_ap("auto", ap_roll=5.0, ap_pitch=3.0, ap_hdg=15.0)
+    h.update_act(0.1, 0.1, 0.5, 0.0)
+    h.update_airdata(alpha_rad=0.03, beta_rad=0.01)
+    h.update_features([[300.0, 0.0, 0.0]])
+    for t2 in range(10):
+        h.update_ned_history(float(t2), [100.0 + 30.0 * t2, 0.0, -110.0])
+    h.show_compass = True
+    h.show_grid = True
+    frame = np.zeros((480, 640, 3), np.uint8)
+    out = h.draw(frame)
+    assert _drawn_pixels(out) > 1000
+
+
+def test_ephemeris_known_sky():
+    """Meeus sun/moon against known sky geometry: equinox noon sun due
+    south at (90° − lat) altitude; documented full moon ~180° from the
+    sun; midnight sun well below the horizon."""
+    import datetime
+
+    from imageanalysis_tpu.video import ephemeris as eph
+
+    t = datetime.datetime(2000, 3, 20, 12, 7,
+                          tzinfo=datetime.timezone.utc).timestamp()
+    jd = eph._julian_day(t)
+    ra, dec = eph.sun_radec(jd)
+    az, alt = eph.radec_to_azalt(ra, dec, 51.48, 0.0, jd)
+    assert abs(dec) < 0.5                      # equinox: sun on the equator
+    assert 170 < az < 190                      # due south from Greenwich
+    assert abs(alt - (90 - 51.48)) < 1.5
+
+    t2 = datetime.datetime(2000, 3, 20, 0, 0,
+                           tzinfo=datetime.timezone.utc).timestamp()
+    jd2 = eph._julian_day(t2)
+    ra2, dec2 = eph.sun_radec(jd2)
+    _, alt2 = eph.radec_to_azalt(ra2, dec2, 51.48, 0.0, jd2)
+    assert alt2 < -30
+
+    # full moon of 2015-07-02 02:20 UTC: elongation ≈ 180°
+    t3 = datetime.datetime(2015, 7, 2, 2, 20,
+                           tzinfo=datetime.timezone.utc).timestamp()
+    jd3 = eph._julian_day(t3)
+    sra, _ = eph.sun_radec(jd3)
+    mra, _ = eph.moon_radec(jd3)
+    assert 170 < (mra - sra) % 360 < 190
