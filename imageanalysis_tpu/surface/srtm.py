@@ -12,22 +12,63 @@ TPU-native differences:
 - the iterative ray intersection (reference: ``while error > 0.01`` up to 25
   iterations, srtm.py:277-324) is a fixed-count ``lax.fori_loop`` with
   convergence masking — identical fixed point, statically shaped;
-- tile download is gated (no network in this environment): tiles are read
-  from a local cache dir (``~/.cache/imageanalysis_tpu/srtm`` or
-  ``$SRTM_CACHE``); absent tiles fall back to flat terrain at a configurable
-  elevation, and the pipeline's smart surface estimates refine from there.
+- tile download (reference srtm.py:66-99 fetches <tile>.hgt.zip from
+  bailu.ch/dem3) is implemented with graceful offline degradation: absent
+  tiles are downloaded into the cache when ``SRTM_DOWNLOAD=1`` (or
+  ``Terrain(download=True)``); on any network failure the grid falls back
+  to flat terrain at a configurable elevation and the pipeline's smart
+  surface estimates refine from there. ``$SRTM_URL`` overrides the mirror
+  (including ``file://`` for tests).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import zipfile
 
 import numpy as np
 
 from ..io.logger import log
 
-TILE_DIM = 1201  # SRTM3
+TILE_DIM = 1201     # SRTM3 (3601 = SRTM1, also accepted at parse)
+DEFAULT_URL = "https://bailu.ch/dem3/"  # reference srtm.py:67
+
+
+def download_tile(name, dest_dir=None, base_url=None, timeout=30.0):
+    """Fetch <name>.hgt.zip into the tile cache (reference srtm.py:66-83
+    download_srtm: ``<base>/<N44>/<N44W094>.hgt.zip``).
+
+    Returns the downloaded path, or None on any failure (offline, 404,
+    timeout) — callers fall back to flat terrain."""
+    import urllib.request
+
+    base_url = (base_url or os.environ.get("SRTM_URL")
+                or DEFAULT_URL).rstrip("/")
+    dest_dir = dest_dir or cache_dirs()[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    fname = name + ".hgt.zip"
+    url = f"{base_url}/{name[:3]}/{fname}"
+    dest = os.path.join(dest_dir, fname)
+    part = dest + ".part"
+    try:
+        log("SRTM: downloading", url)
+        with urllib.request.urlopen(url, timeout=timeout) as r, \
+                open(part, "wb") as f:
+            shutil.copyfileobj(r, f)
+        os.replace(part, dest)
+        return dest
+    except Exception as e:  # offline / 404 / timeout → graceful fallback
+        log(f"SRTM: download failed ({type(e).__name__}: {e}) — "
+            "falling back to cache/flat")
+        if os.path.exists(part):
+            os.remove(part)
+        return None
+
+
+def _download_enabled():
+    return os.environ.get("SRTM_DOWNLOAD", "").lower() in ("1", "true",
+                                                           "yes")
 
 
 def cache_dirs():
@@ -48,23 +89,35 @@ def tile_name(lat, lon):
     return ns + ew
 
 
-def load_tile(name):
-    """Parse <name>.hgt(.zip) → (TILE_DIM, TILE_DIM) float32 elevation, row 0
-    = north edge (reference srtm.py:84-99). None if not cached."""
+def _parse_hgt(path):
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            inner = [n for n in z.namelist() if n.endswith(".hgt")]
+            raw = z.read(inner[0])
+    else:
+        with open(path, "rb") as f:
+            raw = f.read()
+    data = np.frombuffer(raw, dtype=">i2").astype(np.float32)
+    dim = int(round(np.sqrt(data.size)))
+    if dim * dim != data.size or dim not in (1201, 3601):
+        raise ValueError(f"not an SRTM1/SRTM3 .hgt file: {path} "
+                         f"({data.size} samples)")
+    return data.reshape((dim, dim))
+
+
+def load_tile(name, download=None):
+    """Parse <name>.hgt(.zip) → (dim, dim) float32 elevation, row 0 =
+    north edge (reference srtm.py:84-99). Downloads into the cache when
+    enabled and the tile is absent; None if unavailable."""
     for d in cache_dirs():
         for ext in (".hgt", ".hgt.zip"):
             path = os.path.join(d, name + ext)
-            if not os.path.isfile(path):
-                continue
-            if ext.endswith(".zip"):
-                with zipfile.ZipFile(path) as z:
-                    inner = [n for n in z.namelist() if n.endswith(".hgt")]
-                    raw = z.read(inner[0])
-            else:
-                with open(path, "rb") as f:
-                    raw = f.read()
-            data = np.frombuffer(raw, dtype=">i2").astype(np.float32)
-            return data.reshape((TILE_DIM, TILE_DIM))
+            if os.path.isfile(path):
+                return _parse_hgt(path)
+    if download if download is not None else _download_enabled():
+        path = download_tile(name)
+        if path is not None:
+            return _parse_hgt(path)
     return None
 
 
@@ -76,7 +129,7 @@ class Terrain:
     """
 
     def __init__(self, ref_lla, width_m=6000.0, height_m=6000.0, step_m=30.0,
-                 fallback_elev=0.0):
+                 fallback_elev=0.0, download=None):
         from ..core import geodesy
 
         self.ref_lla = list(ref_lla)
@@ -98,7 +151,7 @@ class Terrain:
         for la, lo in {(float(np.floor(p[0])), float(np.floor(p[1])))
                        for p in lla}:
             nm = tile_name(la, lo)
-            t = load_tile(nm)
+            t = load_tile(nm, download=download)
             if t is None:
                 missing.add(nm)
             tiles[nm] = t
@@ -111,11 +164,12 @@ class Terrain:
             vals = np.zeros(len(lla), np.float32)
             for i, (la, lo, _) in enumerate(lla):
                 t = tiles[tile_name(la, lo)]
-                fr = (la - np.floor(la)) * (TILE_DIM - 1)
-                fc = (lo - np.floor(lo)) * (TILE_DIM - 1)
-                r = (TILE_DIM - 1) - fr  # row 0 = north edge
+                dim = t.shape[0]
+                fr = (la - np.floor(la)) * (dim - 1)
+                fc = (lo - np.floor(lo)) * (dim - 1)
+                r = (dim - 1) - fr  # row 0 = north edge
                 r0, c0 = int(r), int(fc)
-                r1, c1 = min(r0 + 1, TILE_DIM - 1), min(c0 + 1, TILE_DIM - 1)
+                r1, c1 = min(r0 + 1, dim - 1), min(c0 + 1, dim - 1)
                 ar, ac = r - r0, fc - c0
                 v = (t[r0, c0] * (1 - ar) * (1 - ac) + t[r1, c0] * ar * (1 - ac)
                      + t[r0, c1] * (1 - ar) * ac + t[r1, c1] * ar * ac)
