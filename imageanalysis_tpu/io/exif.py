@@ -87,18 +87,24 @@ def get_pose(image_file: str):
 
     if "drone-dji:GpsLatitude" in xmp:
         lat_deg = float(xmp["drone-dji:GpsLatitude"])
-    else:
+    elif GPSTags.GPSLatitude in gps:
         lat_deg = dms(gps[GPSTags.GPSLatitude], gps.get(GPSTags.GPSLatitudeRef, "N"))
+    else:
+        lat_deg = None
     if "drone-dji:GpsLongitude" in xmp:
         lon_deg = float(xmp["drone-dji:GpsLongitude"])
-    else:
+    elif GPSTags.GPSLongitude in gps:
         lon_deg = dms(gps[GPSTags.GPSLongitude], gps.get(GPSTags.GPSLongitudeRef, "E"))
+    else:
+        lon_deg = None
     if "drone-dji:AbsoluteAltitude" in xmp:
         alt_m = float(xmp["drone-dji:AbsoluteAltitude"])
         if alt_m < 0:
             log("image meta data is reporting negative absolute altitude!")
-    else:
+    elif GPSTags.GPSAltitude in gps:
         alt_m = _ratio(gps[GPSTags.GPSAltitude])
+    else:
+        alt_m = None
 
     unixtime = None
     if dt_str:

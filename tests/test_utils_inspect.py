@@ -135,3 +135,112 @@ def test_coverage_helpers():
     assert hits == ["a", "b"]
     lla = coverage.coverage_lla(r1, (44.97, -93.26, 0.0))
     assert lla[0] < lla[2] and lla[1] < lla[3]
+
+
+@pytest.fixture(scope="module")
+def util_mission(tmp_path_factory):
+    """One processed tiny mission shared by the 99-* utility tests."""
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path_factory.mktemp("util") / "m")
+    m = SyntheticMission(proj_dir, n_images=3, img_size=(640, 480),
+                         altitude=90.0, spacing=12.0, seed=6)
+    m.generate()
+    db = str(tmp_path_factory.mktemp("cams"))
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--scale", "1.0", "--ground", "0.0",
+                       "--batch-size", "2", "--min-chain-len", "2"])
+    assert rc == 0
+    return proj_dir
+
+
+def test_utils_import_annotations_and_preview_crops(util_mission, tmp_path):
+    """CSV annotation import → preview crops + leaflet map (reference
+    99-import-annotations.py + 99-gen-preview-crops.py)."""
+    import json
+
+    from imageanalysis_tpu.apps import utils
+    from imageanalysis_tpu.io.project import ProjectMgr
+
+    proj = ProjectMgr(util_mission)
+    proj.load_images_info()
+    lat, lon, _ = proj.ned_reference_lla()
+    csv_path = tmp_path / "ann.csv"
+    csv_path.write_text(
+        "OBJECTID,Latitude,Longitude,Altitude\n"
+        f"7,{lat:.8f},{lon:.8f},0.0\n")
+    assert utils.main(["import-annotations", util_mission,
+                       str(csv_path)]) == 0
+    ann = os.path.join(util_mission, "ImageAnalysis", "annotations.json")
+    root = json.load(open(ann))
+    assert root["markers"][0]["id"] == 7
+
+    assert utils.main(["preview-crops", util_mission, "--size", "64"]) == 0
+    pdir = os.path.join(util_mission, "ImageAnalysis", "annotations-preview")
+    crops = [f for f in os.listdir(pdir) if f.endswith(".jpg")]
+    assert len(crops) == 1
+    assert os.path.isfile(os.path.join(pdir, "index.html"))
+    html = open(os.path.join(pdir, "index.html")).read()
+    assert "L.marker" in html and crops[0] in html
+
+
+def test_utils_est_cam_transform(util_mission, capsys):
+    from imageanalysis_tpu.apps import utils
+
+    assert utils.main(["est-cam-transform", util_mission]) == 0
+    out = capsys.readouterr().out
+    assert "average transform euler ypr" in out
+    assert "IMG_0000" in out
+
+
+def test_utils_plot_matches_and_trim_far(util_mission, tmp_path, capsys):
+    from imageanalysis_tpu.apps import utils
+
+    out = str(tmp_path / "graph.png")
+    assert utils.main(["plot-matches", util_mission, "--out", out]) == 0
+    assert os.path.getsize(out) > 5000
+    # trim-far in list mode touches nothing
+    before = sorted(os.listdir(util_mission))
+    assert utils.main(["trim-far", util_mission]) == 0
+    assert sorted(os.listdir(util_mission)) == before
+    assert "IMG_0000" in capsys.readouterr().out
+
+
+def test_utils_renumber_tools(tmp_path):
+    """add-to-name dry-run/write + copy-and-add (99-add-to-name.py,
+    99-copy-and-add.py)."""
+    from imageanalysis_tpu.apps import utils
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        (src / f"IMG_{i:04d}.jpg").write_bytes(b"x" * 10)
+    f0 = str(src / "IMG_0000.jpg")
+    # dry run leaves files alone
+    assert utils.main(["add-to-name", "--add", "100", f0]) == 0
+    assert os.path.isfile(f0)
+    assert utils.main(["add-to-name", "--add", "100", "--write", f0]) == 0
+    assert not os.path.isfile(f0)
+    assert os.path.isfile(str(src / "IMG_0100.jpg"))
+
+    dest = tmp_path / "dest"
+    assert utils.main(["copy-and-add", "--src", str(src), "--dest",
+                       str(dest), "--add", "1000"]) == 0
+    names = sorted(os.listdir(dest))
+    assert names == ["IMG_1001.jpg", "IMG_1002.jpg", "IMG_1100.jpg"]
+
+
+def test_utils_capture_dates_and_wx(util_mission, capsys, monkeypatch,
+                                    tmp_path):
+    from imageanalysis_tpu.apps import utils
+
+    assert utils.main(["capture-dates", util_mission]) == 0
+    out = capsys.readouterr().out
+    assert "IMG_0000" in out
+    # wx-report: synthetic images have no geotag EXIF → graceful exit
+    monkeypatch.setenv("HOME", str(tmp_path))
+    rc = utils.main(["wx-report", util_mission])
+    assert rc in (0, 1)
