@@ -24,7 +24,8 @@ import numpy as np
 N_FEAT = 6000          # realistic SIFT count at scale 0.4 on a 20 MP frame
 N_PAD = 6144           # multiple of the pallas tile sizes (256/512)
 DIM = 128
-BATCH = 16
+BATCH = 64
+STEPS = 64
 PLANTED = 1500         # correspondences per pair
 CV_BASELINE_PAIRS = 2
 
@@ -45,7 +46,7 @@ def make_pair_batch(rng, batch):
     return desc_a, desc_b, uv_a, uv_b
 
 
-def bench_ours(steps=6):
+def bench_ours(steps=STEPS):
     import jax
     import jax.numpy as jnp
 
@@ -65,25 +66,40 @@ def bench_ours(steps=6):
 
     # distinct input batches per step (defeats any backend-side caching of
     # identical executions) with pipelined dispatch (device queues execute
-    # sequentially; enqueue-ahead matches real deployment)
+    # sequentially; enqueue-ahead matches real deployment). Variants are
+    # derived ON DEVICE from the single uploaded batch — re-uploading
+    # hundreds of MB per variant would measure the host link, not the chip.
+    @jax.jit
+    def perturb(da, db, ua, ub, key):
+        k1, k2 = jax.random.split(key)
+        return (da + jax.random.normal(k1, da.shape, da.dtype) * 0.5,
+                db + jax.random.normal(k2, db.shape, db.dtype) * 0.5,
+                ua, ub)
+
     variants = []
     for v in range(3):
-        da2, db2, ua2, ub2 = make_pair_batch(np.random.default_rng(v + 1),
-                                             BATCH)
-        variants.append([jnp.asarray(x) for x in (da2, db2, ua2, ub2)]
-                        + [jnp.asarray(n_a), jnp.asarray(n_b)])
+        da2, db2, ua2, ub2 = perturb(args[0], args[1], args[2], args[3],
+                                     jax.random.PRNGKey(100 + v))
+        variants.append([da2, db2, ua2, ub2, args[4], args[5]])
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+
+    def force(outs):
+        # block_until_ready can return early over this runtime's remote
+        # tunnel; downloading a scalar that depends on every output is the
+        # only trustworthy sync
+        return float(sum(jnp.sum(o[1]) for o in outs))
+
     # compile + warm up
     out = match_pair_batch(*args, keys, K, **kwargs)
-    out[0].block_until_ready()
-    for v in variants:
-        match_pair_batch(*v, keys, K, **kwargs)[0].block_until_ready()
+    force([out])
+    warm = [match_pair_batch(*v, keys, K, **kwargs) for v in variants]
+    force(warm)
     t0 = time.perf_counter()
     outs = []
     for s in range(steps):
         keys = jax.random.split(jax.random.PRNGKey(s + 1), BATCH)
         outs.append(match_pair_batch(*variants[s % 3], keys, K, **kwargs))
-    jax.block_until_ready(outs)
+    force(outs)
     dt = time.perf_counter() - t0
     n_matches = int(np.asarray(outs[-1][1]).sum())
     pairs_per_sec = BATCH * steps / dt

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Mission-scale end-to-end benchmark (BASELINE.md "Rebuild targets").
+
+Generates an N-image synthetic mission at mission resolution, runs the
+full pipeline (TPU detection → worklist matching → cleanup/triangulate/
+groups → bundle adjustment) with per-stage wall-clock instrumentation,
+checks the recovered camera positions against the generator's ground
+truth, and writes a JSON report with an extrapolation of the 2812-image
+"bates" mission against the ≤10 min v5e-8 target.
+
+Usage:
+    python benchmarks/mission_bench.py --n-images 300 --out BENCH_mission.json
+    python benchmarks/mission_bench.py --n-images 10 --width 640 --height 480
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=300)
+    ap.add_argument("--width", type=int, default=2176)
+    ap.add_argument("--height", type=int, default=1440)
+    ap.add_argument("--rows", type=int, default=0,
+                    help="grid rows (default ~n/25)")
+    ap.add_argument("--out", default="BENCH_mission.json")
+    ap.add_argument("--project-dir", default=None,
+                    help="reuse/keep the mission dir instead of a tempdir")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="detector image scale (reference default 0.4 on "
+                         "20 MP; 1.0 here because the synthetic images are "
+                         "already mission-scale)")
+    ap.add_argument("--max-features", type=int, default=4096)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    tmp = None
+    if args.project_dir:
+        proj_dir = args.project_dir
+    else:
+        tmp = tempfile.mkdtemp(prefix="mission_bench_")
+        proj_dir = os.path.join(tmp, "mission")
+
+    rows = args.rows or max(args.n_images // 25, 1)
+    t0 = time.perf_counter()
+    regenerate = not os.path.isfile(os.path.join(proj_dir, "pix4d.csv"))
+    fx = 1400.0 * args.width / 2176.0
+    ground_w = args.width / fx * 100.0          # footprint at 100 m AGL
+    spacing = 0.25 * ground_w                   # ~75% along-track overlap
+    m = SyntheticMission(proj_dir, n_images=args.n_images,
+                         img_size=(args.width, args.height),
+                         altitude=100.0, spacing=spacing, fx=fx,
+                         texture_res=0.5, rows=rows, seed=42)
+    if regenerate:
+        m.generate()
+    else:
+        # rebuild pose bookkeeping without re-rendering
+        m.generate()
+    gen_s = time.perf_counter() - t0
+
+    db_dir = os.path.join(proj_dir, os.pardir, "cameras")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db_dir)
+
+    # --- instrument the pipeline stages ----------------------------------
+    times = {}
+
+    def wrap(mod, name, key):
+        orig = getattr(mod, name)
+
+        def timed(*a, **kw):
+            t = time.perf_counter()
+            r = orig(*a, **kw)
+            times[key] = times.get(key, 0.0) + (time.perf_counter() - t)
+            return r
+
+        setattr(mod, name, timed)
+        return orig
+
+    from imageanalysis_tpu.ba import bundle as bundle_mod
+    from imageanalysis_tpu.features import detect as detect_mod
+    from imageanalysis_tpu.match import matcher as matcher_mod
+
+    orig_detect = wrap(detect_mod, "detect_project_features", "detect")
+    orig_match = wrap(matcher_mod, "find_matches", "match")
+    orig_solve = wrap(bundle_mod, "solve", "ba")
+
+    ba_stats = {}
+    orig_ba = bundle_mod.solve
+
+    def solve_capture(*a, **kw):
+        t = time.perf_counter()
+        r = orig_ba(*a, **kw)
+        ba_stats["wall_s"] = time.perf_counter() - t
+        ba_stats["iters"] = int(getattr(r, "iters", 0) or 0)
+        ba_stats["mre_px"] = float(getattr(r, "mre", float("nan")))
+        return r
+
+    bundle_mod.solve = solve_capture
+
+    import jax
+
+    t0 = time.perf_counter()
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db_dir, "--scale", str(args.scale),
+                       "--ground", "0.0", "--batch-size", "32",
+                       "--min-chain-len", "2",
+                       "--max-features", str(args.max_features)])
+    total_s = time.perf_counter() - t0
+    detect_mod.detect_project_features = orig_detect
+    matcher_mod.find_matches = orig_match
+    bundle_mod.solve = orig_ba
+    assert rc == 0, "pipeline failed"
+
+    # --- accuracy vs ground truth ----------------------------------------
+    proj = ProjectMgr(proj_dir)
+    proj.load_images_info()
+    ref = proj.ned_reference_lla()
+    true_ned = m.true_camera_ned(ref)
+    est = []
+    for im in proj.image_list:
+        ned, _, _ = im.get_camera_pose(opt=im.has_opt_pose())
+        est.append(ned)
+    est = np.asarray(est)
+    err = np.linalg.norm(est - true_ned[: len(est)], axis=1)
+
+    n_pairs = 0
+    for im in proj.image_list:
+        im.load_matches()
+        n_pairs += sum(1 for v in (im.match_list or {}).values() if v)
+    n_pairs //= 2
+
+    detect_s = times.get("detect", float("nan"))
+    match_s = times.get("match", float("nan"))
+    ba_s = ba_stats.get("wall_s", times.get("ba", float("nan")))
+
+    # --- extrapolation to the 2812-image target ---------------------------
+    # detection and matching scale ~linearly in images/pairs; BA is the
+    # wildcard (scales superlinearly) — report it separately, do not hide it
+    scale_f = 2812.0 / args.n_images
+    est_2812_1chip = (detect_s + match_s) * scale_f + ba_s * scale_f
+    est_2812_8chip = est_2812_1chip / 8.0
+
+    result = {
+        "n_images": args.n_images,
+        "image_size": [args.width, args.height],
+        "backend": jax.default_backend(),
+        "generate_s": round(gen_s, 1),
+        "pipeline_total_s": round(total_s, 1),
+        "detect_s": round(detect_s, 1),
+        "detect_s_per_img": round(detect_s / args.n_images, 3),
+        "match_s": round(match_s, 1),
+        "n_matched_pairs": n_pairs,
+        "match_pairs_per_s": round(n_pairs / match_s, 1) if match_s else None,
+        "ba_s": round(ba_s, 1),
+        "ba_iters": ba_stats.get("iters"),
+        "ba_iters_per_s": (round(ba_stats["iters"] / ba_s, 2)
+                           if ba_stats.get("iters") and ba_s else None),
+        "ba_mre_px": round(ba_stats.get("mre_px", float("nan")), 4),
+        "cam_pos_err_mean_m": round(float(err.mean()), 3),
+        "cam_pos_err_max_m": round(float(err.max()), 3),
+        "extrapolated_2812img_1chip_s": round(est_2812_1chip, 0),
+        "extrapolated_2812img_8chip_s": round(est_2812_8chip, 0),
+        "target_s": 600.0,
+        "meets_target_8chip": bool(est_2812_8chip <= 600.0),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    if tmp and not args.project_dir:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
