@@ -140,3 +140,43 @@ def get_pose(image_file: str):
         roll_deg = float(xmp["Camera:Roll"])
 
     return lon_deg, lat_deg, alt_m, unixtime, yaw_deg, pitch_deg, roll_deg
+
+
+def write_geotag(image_file, lat_deg, lon_deg, alt_m, unixtime=None,
+                 out_file=None):
+    """Write GPS EXIF tags (+ DateTime) into a JPEG — the reference's
+    extracted-frame geotagging (3-extract-and-geotag-frames.py uses
+    piexif/pyexiv2; here Pillow writes the GPS IFD directly). The pose is
+    also independently carried by pix4d.csv; EXIF write-back keeps the
+    frames usable by third-party tools."""
+    import datetime
+
+    from PIL import Image as PILImage2
+    from PIL.ExifTags import Base as ExifBase2
+    from PIL.TiffImagePlugin import IFDRational
+
+    def dms_rational(deg):
+        deg = abs(deg)
+        d = int(deg)
+        m = int((deg - d) * 60)
+        s = ((deg - d) * 60 - m) * 60
+        return (IFDRational(d, 1), IFDRational(m, 1),
+                IFDRational(int(round(s * 10000)), 10000))
+
+    with PILImage.open(image_file) as im:
+        exif = im.getexif()
+        gps = {
+            1: "N" if lat_deg >= 0 else "S",
+            2: dms_rational(lat_deg),
+            3: "E" if lon_deg >= 0 else "W",
+            4: dms_rational(lon_deg),
+            5: 0 if alt_m >= 0 else 1,
+            6: IFDRational(int(round(abs(alt_m) * 100)), 100),
+        }
+        exif[0x8825] = gps
+        if unixtime is not None:
+            dt = datetime.datetime.fromtimestamp(unixtime)
+            exif[ExifBase2.DateTime] = dt.strftime("%Y:%m:%d %H:%M:%S")
+        im.save(out_file or image_file, exif=exif,
+                quality="keep" if (out_file or image_file).lower()
+                .endswith(("jpg", "jpeg")) else 95)

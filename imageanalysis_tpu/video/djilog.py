@@ -89,14 +89,19 @@ def parse_srt(path):
 
 
 def extract_frames(video_path, flight_log: DjiCsv, out_dir, interval=1.0,
-                   video_start_unix=None, ref_alt=None):
+                   video_start_unix=None, ref_alt=None, geotag_exif=True):
     """Grab frames every ``interval`` s, save as jpgs, write pix4d.csv from
-    the interpolated flight log (reference 4-extract-dji-frames.py intent).
+    the interpolated flight log, and (by default) write the GPS pose back
+    into each frame's EXIF like the reference's
+    3-extract-and-geotag-frames.py (it uses piexif; io/exif.write_geotag
+    writes the GPS IFD with Pillow).
 
     video_start_unix: unix time of video start; defaults to the log start.
     Returns list of written frame names.
     """
     import cv2
+
+    from ..io import exif as exif_mod
 
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
@@ -122,6 +127,10 @@ def extract_frames(video_path, flight_log: DjiCsv, out_dir, interval=1.0,
             cv2.imwrite(os.path.join(out_dir, name), frame,
                         [cv2.IMWRITE_JPEG_QUALITY, 95])
             alt = state["baro_alt"] if ref_alt is None else ref_alt + state["baro_alt"]
+            if geotag_exif:
+                exif_mod.write_geotag(os.path.join(out_dir, name),
+                                      state["lat"], state["lon"], alt,
+                                      unixtime=video_start_unix + t)
             rows.append([name, state["lat"], state["lon"], alt,
                          state["roll"], state["pitch"], state["yaw"]])
             names.append(name)

@@ -105,6 +105,15 @@ def test_dji_csv_and_extract(tmp_path, rotating_video):
     assert len(names) >= 3
     assert os.path.isfile(os.path.join(out_dir, "pix4d.csv"))
     assert os.path.isfile(os.path.join(out_dir, names[0]))
+    # EXIF geotag write-back (reference 3-extract-and-geotag-frames.py):
+    # the extracted frame's GPS tags round-trip through our parser
+    from imageanalysis_tpu.io import exif as exif_mod
+    lon, lat, alt, unixtime, *_ = exif_mod.get_pose(
+        os.path.join(out_dir, names[0]))
+    assert lat is not None and 44.96 < lat < 44.98
+    assert lon is not None and -93.27 < lon < -93.25
+    assert alt is not None and 80 < alt < 120
+    assert unixtime is not None
 
 
 def test_horizon_detection():
