@@ -60,10 +60,14 @@ def main(argv=None):
     fx = 1400.0 * args.width / 2176.0
     ground_w = args.width / fx * 100.0          # footprint at 100 m AGL
     spacing = 0.25 * ground_w                   # ~75% along-track overlap
+    per_row = max(args.n_images // rows, 1)
+    span = max(per_row, rows * 2.5) * spacing + 2.5 * ground_w
+    tex_px = max(int(span / 0.5) + 512, 2048)
     m = SyntheticMission(proj_dir, n_images=args.n_images,
                          img_size=(args.width, args.height),
                          altitude=100.0, spacing=spacing, fx=fx,
-                         texture_res=0.5, rows=rows, seed=42)
+                         texture_res=0.5, rows=rows, seed=42,
+                         texture_px=tex_px)
     if regenerate:
         m.generate()
     else:

@@ -59,11 +59,49 @@ def _normalize_2d(pts, valid):
     return (pts - mean) * s, T
 
 
-def _smallest_eigvec(A):
-    """Null vector of Aᵀ A (A: (m, n)) via symmetric eigendecomposition."""
-    AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    return vecs[:, 0]
+def _gauss_solve(A, b):
+    """Unrolled no-pivot Gaussian elimination, batched over leading dims.
+
+    LU/eigh on thousands of tiny batched matrices is pathologically slow
+    on TPU (per-matrix iterative lowering); unrolling the elimination
+    turns each scalar step into one elementwise op over the whole
+    hypothesis batch on the VPU. Inputs are Hartley-normalized so pivots
+    are well-scaled; a singular system yields inf/nan and the hypothesis
+    simply scores zero inliers."""
+    n = A.shape[-1]
+    Ab = jnp.concatenate([A, b[..., None]], axis=-1)
+    rows = [Ab[..., i, :] for i in range(n)]
+    for i in range(n):
+        rows[i] = rows[i] / rows[i][..., i:i + 1]
+        for j in range(i + 1, n):
+            rows[j] = rows[j] - rows[j][..., i:i + 1] * rows[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = rows[i][..., n]
+        for j in range(i + 1, n):
+            acc = acc - rows[i][..., j] * x[j]
+        x[i] = acc
+    return jnp.stack(x, axis=-1)
+
+
+def _smallest_eigvec(A, iters=3):
+    """Null vector of Aᵀ A (A: (m, n)) via regularized inverse iteration.
+
+    The target eigenvalue is ~0 (nullspace) while the rest are O(1) after
+    Hartley normalization, so convergence takes one or two iterations;
+    ε keeps the solve nonsingular on exact minimal data."""
+    M = A.T @ A
+    n = M.shape[-1]
+    eps = 1e-6 * jnp.trace(M) / n + 1e-12
+    Mr = M + eps * jnp.eye(n, dtype=M.dtype)
+    # fixed non-structured start vector (an all-ones start can be near-
+    # orthogonal to structured null vectors)
+    v = jnp.sin(jnp.arange(1, n + 1, dtype=M.dtype) * 1.7)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(iters):
+        v = _gauss_solve(Mr, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +124,27 @@ def _homography_dlt(pa, pb, w=None):
     return h.reshape(3, 3)
 
 
+def _homography_4pt(pa, pb):
+    """Exact minimal 4-point homography via an 8×8 solve with h₃₃ = 1.
+
+    ~50× cheaper than the nullspace route on TPU (one batched LU solve vs
+    an eigendecomposition per hypothesis). h₃₃ = 0 in normalized coords
+    needs an extreme perspectivity — a degenerate/singular sample yields
+    inf/nan entries and simply scores zero inliers in the argmax."""
+    x, y = pa[:, 0], pa[:, 1]
+    u, v = pb[:, 0], pb[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)          # (8, 8)
+    b = jnp.concatenate([u, v], axis=0)
+    # normal equations: SPD system → pivot-free elimination is safe (a raw
+    # DLT row can have a ~0 diagonal since normalized coords are zero-mean)
+    h8 = _gauss_solve(A.T @ A, A.T @ b)
+    return jnp.concatenate([h8, jnp.ones(1, A.dtype)]).reshape(3, 3)
+
+
 def _homography_error(H, pa, pb):
     """Forward transfer error ‖H·pa − pb‖ (cv2.findHomography's metric)."""
     ph = jnp.concatenate([pa, jnp.ones_like(pa[..., :1])], axis=-1)
@@ -104,7 +163,7 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     pb_n, Tb = _normalize_2d(pts_b, valid)
     idx = _sample_indices(key, valid, n_hyp, 4)
 
-    Hs = jax.vmap(lambda i: _homography_dlt(pa_n[i], pb_n[i]))(idx)  # (H,3,3)
+    Hs = jax.vmap(lambda i: _homography_4pt(pa_n[i], pb_n[i]))(idx)  # (H,3,3)
     errs = jax.vmap(lambda H: _homography_error(H, pa_n, pb_n))(Hs)  # (H,N)
     # threshold in normalized units: scale by Tb's isotropic scale
     t_norm = thresh * Tb[0, 0]

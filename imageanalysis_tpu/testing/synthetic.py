@@ -41,8 +41,10 @@ def make_ground_texture(rng, size=2048, blur=2.0):
 class SyntheticMission:
     def __init__(self, project_dir, n_images=6, img_size=(800, 600),
                  altitude=100.0, spacing=18.0, fx=700.0, texture_res=0.25,
-                 yaw_jitter=3.0, pos_jitter=1.0, seed=7, rows=1):
-        """texture_res: meters per texture pixel."""
+                 yaw_jitter=3.0, pos_jitter=1.0, seed=7, rows=1,
+                 texture_px=2048):
+        """texture_res: meters per texture pixel; texture_px: ground-plane
+        texture size (raise for large missions so the grid stays on it)."""
         self.project_dir = project_dir
         self.n_images = n_images
         self.w, self.h = img_size
@@ -56,13 +58,14 @@ class SyntheticMission:
         self.yaw_jitter = yaw_jitter
         self.pos_jitter = pos_jitter
         self.rows = rows
+        self.texture_px = texture_px
         self.poses = []  # (name, ned, aircraft ypr_deg)
 
     def generate(self):
         import cv2
 
         os.makedirs(self.project_dir, exist_ok=True)
-        tex = make_ground_texture(self.rng)
+        tex = make_ground_texture(self.rng, size=self.texture_px)
         ts = tex.shape[0]
         # texture pixel (px, py) → world NED (n, e, 0): center the texture
         res = self.texture_res
@@ -70,12 +73,18 @@ class SyntheticMission:
                       [res, 0.0, -ts / 2.0 * res],   # e = (px − c)·res
                       [0.0, 0.0, 1.0]])
         per_row = self.n_images // self.rows or 1
+        # center the grid on the texture origin so large missions stay on
+        # the rendered ground plane
+        n_off = (per_row - 1) * self.spacing * 0.5
+        e_off = (self.rows - 1) * self.spacing * 2.5 * 0.5
         records = []
         for i in range(self.n_images):
             row, col = divmod(i, per_row)
             ned = np.array([
-                col * self.spacing + self.rng.normal(0, self.pos_jitter),
-                row * self.spacing * 2.5 + self.rng.normal(0, self.pos_jitter),
+                col * self.spacing - n_off
+                + self.rng.normal(0, self.pos_jitter),
+                row * self.spacing * 2.5 - e_off
+                + self.rng.normal(0, self.pos_jitter),
                 -self.alt + self.rng.normal(0, self.pos_jitter),
             ])
             yaw = self.rng.normal(0, self.yaw_jitter)
