@@ -65,10 +65,25 @@ def build_parser():
     p.add_argument("--histogram", action="store_true",
                    help="build neighborhood histogram-matching tables in "
                         "Step 5 (explorer applies them at texture load)")
+    p.add_argument("--trace", metavar="DIR",
+                   help="capture a JAX profiler trace of the whole pipeline "
+                        "run into DIR (open with TensorBoard / xprof)")
     return p
 
 
 def run(args) -> int:
+    if args.trace:
+        import jax
+
+        with jax.profiler.trace(args.trace):
+            rc = _run(args)
+        from ..io.logger import log
+        log(f"JAX profiler trace written to {args.trace}")
+        return rc
+    return _run(args)
+
+
+def _run(args) -> int:
     from ..io import camera_db, pose as pose_mod
     from ..io.logger import log
     from ..io.project import ProjectMgr
