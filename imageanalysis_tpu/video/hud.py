@@ -254,6 +254,7 @@ class HUD:
         if self.style == "glass":
             self.draw_tapes_glass(frame, cv2)
             self.draw_roll_indicator(frame, cv2)
+            self.draw_dg(frame, cv2)
         else:
             self.draw_tapes(frame, cv2)
         if self.pilot_stick is not None or self.act_stick is not None:
@@ -505,6 +506,60 @@ class HUD:
             cv2.putText(overlay, label, (x0 + 8, cy - 126),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.5, WHITE, 1)
         cv2.addWeighted(overlay, 0.65, frame, 0.35, 0, dst=frame)
+
+    def draw_dg(self, frame, cv2):
+        """Glass directional gyro: rotating compass rose at bottom center
+        with nose marker, AP heading bug and ground-course arrow
+        (hud_glass.py:584-712 — the reference composites a PNG rose; here
+        the rose is drawn programmatically, same symbology)."""
+        h, w = frame.shape[:2]
+        radius = int(w * 0.125)
+        cx = w // 2
+        cy = h - int(radius * 0.35)       # face mostly below the frame edge
+        yaw = self.ypr[0] * D2R
+
+        overlay = frame.copy()
+        cv2.circle(overlay, (cx, cy), radius, (40, 40, 40), -1)
+        cv2.addWeighted(overlay, 0.5, frame, 0.5, 0, dst=frame)
+        cv2.circle(frame, (cx, cy), radius, WHITE, 1, cv2.LINE_AA)
+
+        for hdg in range(0, 360, 5):
+            a = (hdg * D2R) - yaw - math.pi / 2
+            major = hdg % 30 == 0
+            r0 = radius - (12 if major else 6)
+            p0 = (int(cx + r0 * math.cos(a)), int(cy + r0 * math.sin(a)))
+            p1 = (int(cx + radius * math.cos(a)),
+                  int(cy + radius * math.sin(a)))
+            cv2.line(frame, p0, p1, WHITE, 1, cv2.LINE_AA)
+            if major:
+                lbl = {0: "N", 90: "E", 180: "S", 270: "W"}.get(
+                    hdg, str(hdg // 10))
+                rl = radius - 24
+                pl = (int(cx + rl * math.cos(a)),
+                      int(cy + rl * math.sin(a)))
+                self.draw_label(frame, cv2, lbl, pl, 0.4, color=WHITE)
+
+        # nose marker (fixed, top of the rose)
+        cv2.fillPoly(frame, [np.array([[cx, cy - radius - 2],
+                                       [cx - 6, cy - radius - 12],
+                                       [cx + 6, cy - radius - 12]])],
+                     WHITE)
+        # AP heading bug (rotates with the rose)
+        if self.flight_mode == "auto":
+            a = (self.ap_hdg * D2R) - yaw - math.pi / 2
+            for rr, ss in ((radius - 4, 8),):
+                bx = int(cx + rr * math.cos(a))
+                by = int(cy + rr * math.sin(a))
+                cv2.rectangle(frame, (bx - ss, by - 4), (bx + ss, by + 4),
+                              (211, 85, 186), -1)
+        # ground-course arrow from filtered velocity
+        gs = math.hypot(self._vel_filt[0], self._vel_filt[1])
+        if gs > 0.5:
+            crs = math.atan2(self._vel_filt[1], self._vel_filt[0])
+            a = crs - yaw - math.pi / 2
+            p1 = (int(cx + (radius - 18) * math.cos(a)),
+                  int(cy + (radius - 18) * math.sin(a)))
+            cv2.line(frame, (cx, cy), p1, (0, 220, 220), 2, cv2.LINE_AA)
 
     def draw_roll_indicator(self, frame, cv2):
         """Sky-pointer roll arc at the top (hud_glass.py bank indicator)."""

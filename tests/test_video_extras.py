@@ -319,3 +319,19 @@ def test_ephemeris_known_sky():
     sra, _ = eph.sun_radec(jd3)
     mra, _ = eph.moon_radec(jd3)
     assert 170 < (mra - sra) % 360 < 190
+
+
+def test_hud_glass_dg():
+    """Glass directional gyro renders rose + nose + bug + course arrow
+    (hud_glass.py:584-712)."""
+    import numpy as np
+
+    h = _hud_fixture()
+    h.style = "glass"
+    h.update_ap("auto", ap_hdg=45.0)
+    h._vel_filt = np.array([20.0, 5.0, 0.0])
+    frame = np.zeros((480, 640, 3), np.uint8)
+    h.draw_dg(frame, cv2)
+    assert _drawn_pixels(frame) > 500
+    # rose is at the bottom center
+    assert (frame[430:480, 260:380].sum(axis=2) > 30).sum() > 200
