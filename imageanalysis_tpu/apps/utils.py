@@ -609,6 +609,42 @@ def cmd_wx_report(args):
     return 0
 
 
+def cmd_import_info(args):
+    """Migrate legacy *.info pose files (aircraft-pose lla/ypr JSON) to a
+    pix4d.csv (reference 99-import-ati.py, generalized: no hard-coded
+    paths)."""
+    import csv
+    import fnmatch
+
+    rows = []
+    for f in sorted(os.listdir(args.source)):
+        if not fnmatch.fnmatch(f, "*.info"):
+            continue
+        with open(os.path.join(args.source, f)) as fh:
+            node = json.load(fh)
+        pose = node.get("aircraft-pose") or node.get("aircraft_pose") or {}
+        lla = pose.get("lla", [None] * 3)
+        ypr = pose.get("ypr", [0.0] * 3)
+        if lla[0] is None:
+            log("skipping (no aircraft-pose/lla):", f)
+            continue
+        yaw = ypr[0] + (360.0 if ypr[0] < 0 else 0.0)
+        name = os.path.splitext(f)[0] + ".JPG"
+        rows.append([name, lla[0], lla[1], lla[2], ypr[2], ypr[1], yaw])
+    out = args.out or os.path.join(args.source, "pix4d.csv")
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["File Name", "Lat (decimal degrees)",
+                    "Lon (decimal degrees)", "Alt (meters MSL)",
+                    "Roll (decimal degrees)", "Pitch (decimal degrees)",
+                    "Yaw (decimal degrees)"])
+        for name, lat, lon, alt, roll, pitch, yaw in rows:
+            w.writerow([name, "%.10f" % lat, "%.10f" % lon, "%.2f" % alt,
+                        "%.2f" % roll, "%.2f" % pitch, "%.2f" % yaw])
+    log(f"wrote {len(rows)} poses → {out}")
+    return 0
+
+
 def cmd_histogram(args):
     """Build + persist the neighborhood histogram-matching tables consumed
     by the explorer at texture load (reference lib/histogram.py +
@@ -685,6 +721,12 @@ def main(argv=None):
     s = sub.add_parser("wx-report", help="mission weather report")
     s.add_argument("project")
     s.set_defaults(fn=cmd_wx_report)
+
+    s = sub.add_parser("import-info",
+                       help="legacy *.info poses → pix4d.csv")
+    s.add_argument("source")
+    s.add_argument("--out")
+    s.set_defaults(fn=cmd_import_info)
 
     s = sub.add_parser("new-camera")
     s.add_argument("image")
