@@ -40,3 +40,18 @@ import jax as _jax
 # IMAGEANALYSIS_TPU_NO_PRECISION_OVERRIDE=1.
 if not _os.environ.get("IMAGEANALYSIS_TPU_NO_PRECISION_OVERRIDE"):
     _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: XLA compiles take 30-180 s on tunneled TPU
+# runtimes; caching executables across processes makes every pipeline
+# invocation after the first start instantly. Opt out / relocate with
+# IMAGEANALYSIS_TPU_COMPILE_CACHE=0 or =/path.
+_cache = _os.environ.get("IMAGEANALYSIS_TPU_COMPILE_CACHE", "")
+if _cache != "0":
+    try:
+        _dir = _cache or _os.path.expanduser(
+            "~/.cache/imageanalysis_tpu/jaxcache")
+        _os.makedirs(_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knob — run uncached
+        pass
