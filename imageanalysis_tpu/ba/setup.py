@@ -73,9 +73,17 @@ def setup_from_matches(proj, matches, group_images=None, min_chain_len=3,
 def write_back(proj, matches, result, cam_names, match_map):
     """Store optimized camera poses (camera_pose_opt) and point positions
     (match[0]) — reference Optimizer.update_camera_poses (optimizer.py:543)."""
+    from ..core.hostmath import host_default_device
     from ..core.rotations import ypr_from_quat
 
     r2d = 180.0 / np.pi
+    with host_default_device():
+        _write_back_poses(proj, result, cam_names, ypr_from_quat, r2d)
+    for k, mi in enumerate(match_map):
+        matches[mi][0] = result.pts[k].tolist()
+
+
+def _write_back_poses(proj, result, cam_names, ypr_from_quat, r2d):
     for ci, name in enumerate(cam_names):
         im = proj.image_by_name(name)
         if im is None:
@@ -85,5 +93,3 @@ def write_back(proj, matches, result, cam_names, match_map):
         y, p, r = (float(a) * r2d for a in ypr_from_quat(quat))
         im.set_camera_pose(ned, y, p, r, opt=True, quat=np.asarray(quat))
         im.save_meta()
-    for k, mi in enumerate(match_map):
-        matches[mi][0] = result.pts[k].tolist()

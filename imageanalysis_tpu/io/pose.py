@@ -32,6 +32,14 @@ R2D = 180.0 / np.pi
 
 def set_aircraft_poses(proj: ProjectMgr, posefile: str, order="ypr",
                        max_angle=25.0):
+    # per-image eager quat math → keep it off the (high-latency) accelerator
+    from ..core.hostmath import host_default_device
+
+    with host_default_device():
+        return _set_aircraft_poses(proj, posefile, order, max_angle)
+
+
+def _set_aircraft_poses(proj, posefile, order, max_angle):
     log("Setting aircraft poses")
     image_files = set(proj.image_files())
     make = proj.camera.get("make", "")
@@ -88,6 +96,13 @@ def set_aircraft_poses(proj: ProjectMgr, posefile: str, order="ypr",
 def compute_camera_poses(proj: ProjectMgr):
     """Camera pose = aircraft attitude ⊗ mount offset; position in project
     NED (reference pose.py:125-152)."""
+    from ..core.hostmath import host_default_device
+
+    with host_default_device():
+        return _compute_camera_poses(proj)
+
+
+def _compute_camera_poses(proj):
     log("Setting camera poses (offset from aircraft pose.)")
     ref = proj.ned_reference_lla()
     body2cam = proj.get_body2cam()

@@ -41,6 +41,21 @@ D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
 
+def _undistort_jit(kp, K, dist):
+    """Jitted undistortion (lazy import keeps module import light)."""
+    import jax
+
+    from ..core.camera import undistort_pixels
+
+    global _undistort_compiled
+    if _undistort_compiled is None:
+        _undistort_compiled = jax.jit(undistort_pixels)
+    return _undistort_compiled(kp, K, dist)
+
+
+_undistort_compiled = None
+
+
 class ImageRecord:
     """Per-image state: poses, features, matches (reference image.py:25)."""
 
@@ -317,13 +332,24 @@ class ProjectMgr:
     # -- undistortion helpers --------------------------------------------
     def undistort_image_keypoints(self, image: ImageRecord, optimized=False):
         """Populate image.uv_list with undistorted kp coords (reference
-        project.py:278-296), via the jnp camera model."""
-        from ..core.camera import undistort_pixels
+        project.py:278-296), via the jnp camera model.
+
+        The call is jitted with power-of-two padded shapes: eager per-image
+        dispatch (≈30 tiny device ops × one shape per image) costs seconds
+        per image over a remote-tunnel runtime, and per-shape retraces cost
+        a compile per image."""
+        import functools
+
+        import jax
         import jax.numpy as jnp
 
         if image.kp is None or len(image.kp) == 0:
             image.uv_list = np.zeros((0, 2), np.float32)
             return
         model = self.camera_model(optimized)
-        uv = undistort_pixels(jnp.asarray(image.kp), model.K, model.dist)
-        image.uv_list = np.asarray(uv)
+        n = len(image.kp)
+        npad = 1 << max(int(np.ceil(np.log2(max(n, 256)))), 8)
+        kp = np.zeros((npad, 2), np.float32)
+        kp[:n] = image.kp
+        uv = _undistort_jit(jnp.asarray(kp), model.K, model.dist)
+        image.uv_list = np.asarray(uv)[:n]

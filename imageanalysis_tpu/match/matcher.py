@@ -341,7 +341,10 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
     total = 0
     for s in range(0, len(todo), B):
         chunk = todo[s:s + B]
+        tc = time.time()
         total += matcher.match_pairs(chunk, progress=True)
+        qlog(f"chunk {s // B + 1}/{(len(todo) + B - 1) // B}: "
+             f"{len(chunk)} pairs in {time.time() - tc:.1f}s")
         if smart_state is not None:
             from . import smart as smart_mod
             smart_mod.update_pairs_batched(

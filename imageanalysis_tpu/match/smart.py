@@ -112,11 +112,18 @@ class SmartState:
         return float(self.node(name).get("yaw_error", 0.0))
 
     def update_srtm_elevations(self, proj, terrain):
-        """srtm_surface_m under each camera (reference smart.py:319-326)."""
-        for image in proj.image_list:
-            ned, _, _ = image.get_camera_pose()
-            self.node(image.name)["srtm_surface_m"] = round(
-                float(terrain.ned_interp([ned[0], ned[1]])), 1)
+        """srtm_surface_m under each camera (reference smart.py:319-326).
+        One batched interp call — a per-image eager device op costs a
+        round trip per image on tunneled runtimes."""
+        import numpy as np
+
+        neds = np.array([image.get_camera_pose()[0]
+                         for image in proj.image_list], np.float32)
+        if len(neds) == 0:
+            return
+        elevs = np.asarray(terrain.interp_host(neds[:, 0], neds[:, 1]))
+        for image, e in zip(proj.image_list, np.atleast_1d(elevs)):
+            self.node(image.name)["srtm_surface_m"] = round(float(e), 1)
 
 
 # ---------------------------------------------------------------------------

@@ -231,10 +231,25 @@ class Terrain:
         p = jax.lax.fori_loop(0, iters - 1, body, p0) if not self.flat else p0
         return jnp.where(down_ok[..., None], p, cam)
 
+    def interp_host(self, n, e):
+        """Numpy bilinear elevation — for scalar/per-image host queries
+        (an eager device interp costs a round trip per call on tunneled
+        runtimes; the batched ray math stays on ``interp``)."""
+        g = self.grid
+        nn, ne = g.shape
+        r = np.clip((np.asarray(n) - self.n0) / self.step, 0.0, nn - 1.001)
+        c = np.clip((np.asarray(e) - self.e0) / self.step, 0.0, ne - 1.001)
+        r0 = np.floor(r).astype(int)
+        c0 = np.floor(c).astype(int)
+        ar = r - r0
+        ac = c - c0
+        return (g[r0, c0] * (1 - ar) * (1 - ac) + g[r0 + 1, c0] * ar * (1 - ac)
+                + g[r0, c0 + 1] * (1 - ar) * ac + g[r0 + 1, c0 + 1] * ar * ac)
+
     def base_elevation(self, image):
         """Terrain elevation under an image's camera (Step 3c prior)."""
         ned, _, _ = image.get_camera_pose()
-        return self.ned_interp([ned[0], ned[1]])
+        return float(self.interp_host(ned[0], ned[1]))
 
 
 def project_terrain(proj, width_m=6000.0, height_m=6000.0, step_m=30.0,
