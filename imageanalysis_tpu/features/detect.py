@@ -103,33 +103,68 @@ def detect(gray: np.ndarray, config: DetectorConfig):
 
 
 def detect_project_features(proj, config: DetectorConfig, use_cache=True,
-                            progress=True):
-    """Detect (or load cached) features for every image in the project."""
+                            progress=True, prefetch=4):
+    """Detect (or load cached) features for every image in the project.
+
+    Host IO (jpg decode + CLAHE + gzip cache writes) runs in worker
+    threads, pipelined with the device detect calls on the main thread —
+    cv2/gzip release the GIL, so per-image wall-clock is
+    max(host, device) instead of their sum."""
+    import concurrent.futures as cf
+
     from ..io.logger import log, qlog
 
-    it = proj.image_list
-    if progress:
-        try:
-            from tqdm import tqdm
-            it = tqdm(it, desc="detect")
-        except ImportError:
-            pass
-    for image in it:
+    todo = []
+    for image in proj.image_list:
         if use_cache and image.load_features() and image.load_descriptors():
             continue
-        qlog("Detecting features/descriptors for:", image.name)
+        todo.append(image)
+    if not todo:
+        return
+
+    cam_w = int(proj.camera.get("width_px", 0))
+    cam_h = int(proj.camera.get("height_px", 0))
+
+    def load(image):
         gray = load_gray(proj.image_path(image), equalize=config.equalize)
-        h, w = gray.shape[:2]
-        image.set_size(w, h)
-        cam_w = int(proj.camera.get("width_px", 0))
-        cam_h = int(proj.camera.get("height_px", 0))
-        if cam_w and (w != cam_w or h != cam_h):
-            raise RuntimeError(
-                f"image dimensions {w}x{h} do not match camera config "
-                f"{cam_w}x{cam_h} — fix the camera config vs image size issue "
-                f"(reference image.py:300-306)")
-        kp, kp_meta, des = detect(gray, config)
+        return image, gray
+
+    def store(image, kp, kp_meta, des):
         image.kp, image.kp_meta, image.des = kp, kp_meta, des
         image.save_features()
         image.save_descriptors()
         image.save_meta()
+
+    it = todo
+    if progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(todo, desc="detect")
+        except ImportError:
+            pass
+    with cf.ThreadPoolExecutor(max_workers=prefetch) as loaders, \
+            cf.ThreadPoolExecutor(max_workers=2) as writers:
+        pending = []
+        window = []                       # bounded: ~prefetch decoded images
+        src = iter(todo)
+        for im in todo[:prefetch * 2]:
+            window.append(loaders.submit(load, im))
+            next(src)
+        for _tick in it:
+            fut = window.pop(0)
+            for im in src:
+                window.append(loaders.submit(load, im))
+                break
+            image, gray = fut.result()
+            qlog("Detecting features/descriptors for:", image.name)
+            h, w = gray.shape[:2]
+            image.set_size(w, h)
+            if cam_w and (w != cam_w or h != cam_h):
+                raise RuntimeError(
+                    f"image dimensions {w}x{h} do not match camera config "
+                    f"{cam_w}x{cam_h} — fix the camera config vs image size "
+                    f"issue (reference image.py:300-306)")
+            kp, kp_meta, des = detect(gray, config)
+            pending.append(writers.submit(store, image, kp, kp_meta, des))
+        for p in pending:
+            p.result()
