@@ -277,6 +277,24 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
 
     model = proj.camera_model()
 
+    # one batched device call for every involved camera's projection
+    # matrix — per-pair eager ned_quat_to_rt calls cost a device round
+    # trip each (~0.2 s on tunneled runtimes; this loop dominated Step 3a)
+    uniq = {}
+    for i1, i2 in pair_list:
+        for im in (i1, i2):
+            if im.name not in uniq:
+                uniq[im.name] = im
+    names = list(uniq)
+    neds = np.array([uniq[nm].get_camera_pose()[0] for nm in names],
+                    np.float32)
+    quats = np.array([uniq[nm].get_camera_pose()[2] for nm in names],
+                     np.float32)
+    R_all, t_all = ned_quat_to_rt(jnp.asarray(neds), jnp.asarray(quats))
+    P_all = np.asarray(jnp.concatenate([R_all, t_all[..., None]], axis=-1))
+    P_by_name = {nm: P_all[i] for i, nm in enumerate(names)}
+    ned_by_name = {nm: neds[i] for i, nm in enumerate(names)}
+
     buckets = {}
     for k, (i1, i2) in enumerate(pair_list):
         n = len(i1.match_list[i2.name])
@@ -317,14 +335,10 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
                 uv1[bi, :n] = [i1.kp[a] for a, _ in pairs]
                 uv2[bi, :n] = [i2.kp[b] for _, b in pairs]
                 msk[bi, :n] = True
-                for P, im in ((P1, i1), (P2, i2)):
-                    ned, _, q = im.get_camera_pose()
-                    R, t = ned_quat_to_rt(jnp.asarray(ned, dtype=jnp.float32),
-                                          jnp.asarray(q, dtype=jnp.float32))
-                    P[bi] = np.asarray(jnp.concatenate([R, t[:, None]], 1))
-                ned1, _, _ = i1.get_camera_pose()
-                ned2, _, _ = i2.get_camera_pose()
-                dists[bi] = np.linalg.norm(np.asarray(ned2) - np.asarray(ned1))
+                P1[bi] = P_by_name[i1.name]
+                P2[bi] = P_by_name[i2.name]
+                dists[bi] = np.linalg.norm(ned_by_name[i2.name]
+                                           - ned_by_name[i1.name])
             n1 = pixels_to_normalized(jnp.asarray(uv1), model.K)
             n2 = pixels_to_normalized(jnp.asarray(uv2), model.K)
             pts = np.asarray(tri_b(jnp.asarray(P1), jnp.asarray(P2), n1, n2))
@@ -391,10 +405,10 @@ def update_pair(proj, smart: SmartState, i1, i2):
 
 def _yaw_from_affine(proj, i1, i2, A):
     """Yaw-error math given a precomputed uv2→uv1 similarity (the host trig
-    half of estimate_yaw_error)."""
-    from ..core.transforms import decompose_affine_2d
-
-    _, tx, ty, _, _ = (float(x) for x in decompose_affine_2d(A))
+    half of estimate_yaw_error). Pure numpy — a per-pair eager device op
+    costs a round trip per pair on tunneled runtimes."""
+    A = np.asarray(A)
+    tx, ty = float(A[0, 2]), float(A[1, 2])
     weight = abs(ty / tx) if abs(ty) > 0 and tx != 0 else abs(tx)
     ned1, _, _ = i1.get_camera_pose()
     ned2, _, _ = i2.get_camera_pose()
