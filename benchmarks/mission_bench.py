@@ -62,11 +62,14 @@ def main(argv=None):
     spacing = 0.25 * ground_w                   # ~75% along-track overlap
     per_row = max(args.n_images // rows, 1)
     span = max(per_row, rows * 2.5) * spacing + 2.5 * ground_w
-    tex_px = max(int(span / 0.5) + 512, 2048)
+    # texture resolution ~2× coarser than the image ground sample distance:
+    # sharper costs texture memory, blurrier starves SIFT of features
+    tex_res = max(2.0 * 100.0 / fx, 0.05)
+    tex_px = min(max(int(span / tex_res) + 512, 2048), 12000)
     m = SyntheticMission(proj_dir, n_images=args.n_images,
                          img_size=(args.width, args.height),
                          altitude=100.0, spacing=spacing, fx=fx,
-                         texture_res=0.5, rows=rows, seed=42,
+                         texture_res=tex_res, rows=rows, seed=42,
                          texture_px=tex_px)
     if regenerate:
         m.generate()
@@ -117,10 +120,12 @@ def main(argv=None):
     import jax
 
     t0 = time.perf_counter()
+    detector = ("TPU" if jax.default_backend() == "tpu"
+                else "SIFT")
     rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
                        "--camera-db", db_dir, "--scale", str(args.scale),
                        "--ground", "0.0", "--batch-size", "32",
-                       "--min-chain-len", "2",
+                       "--min-chain-len", "2", "--detector", detector,
                        "--max-features", str(args.max_features)])
     total_s = time.perf_counter() - t0
     detect_mod.detect_project_features = orig_detect
@@ -146,6 +151,17 @@ def main(argv=None):
         n_pairs += sum(1 for v in (im.match_list or {}).values() if v)
     n_pairs //= 2
 
+    # the matcher's own log line gives attempted pairs + core match time
+    # (match_s above also includes store init, smart priors and compiles)
+    attempted = core_s = None
+    import glob
+    import re
+    for mf in glob.glob(os.path.join(proj.analysis_dir, "messages-*")):
+        for line in open(mf):
+            mm = re.search(r"Matched (\d+) pairs in ([\d.]+)s", line)
+            if mm:
+                attempted, core_s = int(mm.group(1)), float(mm.group(2))
+
     detect_s = times.get("detect", float("nan"))
     match_s = times.get("match", float("nan"))
     ba_s = ba_stats.get("wall_s", times.get("ba", float("nan")))
@@ -166,8 +182,11 @@ def main(argv=None):
         "detect_s": round(detect_s, 1),
         "detect_s_per_img": round(detect_s / args.n_images, 3),
         "match_s": round(match_s, 1),
-        "n_matched_pairs": n_pairs,
-        "match_pairs_per_s": round(n_pairs / match_s, 1) if match_s else None,
+        "n_surviving_pairs": n_pairs,
+        "match_attempted_pairs": attempted,
+        "match_core_s": core_s,
+        "match_pairs_per_s": (round(attempted / core_s, 1)
+                              if attempted and core_s else None),
         "ba_s": round(ba_s, 1),
         "ba_iters": ba_stats.get("iters"),
         "ba_iters_per_s": (round(ba_stats["iters"] / ba_s, 2)
