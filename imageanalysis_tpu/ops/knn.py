@@ -161,11 +161,20 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
     """Fused streaming 2-NN. desc_a: (n_a, d), desc_b: (n_b, d); n_a % tile_a
     and n_b % tile_b must be 0 (use pad_descriptors).
 
-    Default tiles: largest of (1024, 512, 256) dividing each axis — measured
-    on hardware, 256×1024 runs ~4× faster than 256×512 (fewer VPU top-2
-    merge rounds between MXU tiles)."""
+    Default tiles (hardware-swept, r2): take the WHOLE B axis in one tile
+    when it fits VMEM — running-state merges and the column-output
+    read-modify-write then happen once per row tile (256×6144 measured
+    ~22% faster than 256×1024; larger row tiles or >8 MB d2 blocks fail
+    to compile)."""
     n_a, d = desc_a.shape
     n_b = desc_b.shape[0]
+    if tile_a is None and tile_b is None:
+        # a (tile_a × n_b) block costs ~12 B/element of scoped VMEM (d2 +
+        # its masked copy + in/out buffers); stay under the 16 MB budget
+        for ta in (256, 128, 64):
+            if n_a % ta == 0 and ta * n_b * 12 <= 15 * 1024 * 1024:
+                tile_a, tile_b = ta, n_b
+                break
     if tile_a is None:
         tile_a = next((t for t in (256, 128, 64) if n_a % t == 0), n_a)
     if tile_b is None:
