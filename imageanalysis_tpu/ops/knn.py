@@ -71,6 +71,77 @@ def knn_top2_ref(desc_a, desc_b, bf16=True):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
+_IDX_BITS = 13                  # supports n ≤ 8192 in the packed kernel
+_IDX_MASK = (1 << _IDX_BITS) - 1
+# keys are int32: d2 ≥ 0 means its f32 bit pattern is a non-negative int32
+# whose ordering matches the float ordering (Mosaic has no unsigned-int
+# reductions)
+_KEY_MAX = 0x7FFFFFFF
+
+
+def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, row_ref, col_ref,
+                       r1_ref, r2_ref, *, tile_a, tile_b):
+    """Packed-key variant: the low 13 mantissa bits of each (non-negative)
+    squared distance are replaced by the candidate index, so a single
+    uint32 min returns value AND argmin together (positive-float bit
+    patterns order like the values). Halves the VPU reduction passes of
+    the unpacked kernel; costs ≤2⁻¹⁰ relative distance precision — far
+    below descriptor noise, and the ratio test compares two equally
+    truncated values. Outputs stay packed; the caller decodes."""
+    ia = pl.program_id(0)
+    ib = pl.program_id(1)
+    nb_tiles = pl.num_programs(1)
+
+    dn = (((1,), (1,)), ((), ()))
+    ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+    na2 = na2_ref[:][:, 0]
+    nb2 = nb2_ref[:][:, 0]
+    d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
+
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32) \
+        & jnp.int32(~_IDX_MASK)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 1) \
+        + ib * tile_b
+    rowkey = bits | cols                                  # (ta, tb)
+
+    m1 = jnp.min(rowkey, axis=1)
+    masked = jnp.where(rowkey == m1[:, None], jnp.int32(_KEY_MAX), rowkey)
+    m2 = jnp.min(masked, axis=1)
+
+    @pl.when(ib == 0)
+    def _():
+        r1_ref[:] = jnp.full((tile_a, 1), _KEY_MAX, jnp.int32)
+        r2_ref[:] = jnp.full((tile_a, 1), _KEY_MAX, jnp.int32)
+
+    r1 = r1_ref[:][:, 0]
+    r2 = r2_ref[:][:, 0]
+    # merge two sorted pairs on packed keys
+    n1 = jnp.minimum(r1, m1)
+    n2 = jnp.minimum(jnp.maximum(r1, m1), jnp.minimum(r2, m2))
+    r1_ref[:] = n1[:, None]
+    r2_ref[:] = n2[:, None]
+
+    @pl.when(ib == nb_tiles - 1)
+    def _():
+        row_ref[:] = jnp.concatenate([r1_ref[:], r2_ref[:]], axis=1)
+
+    # column top-1, packed with row indices
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 0) \
+        + ia * tile_a
+    colkey = jnp.min(bits | rows, axis=0)[None, :]        # (1, tb)
+    sl = pl.ds(ib * tile_b, tile_b)
+
+    @pl.when(ia == 0)
+    def _():
+        col_ref[:, sl] = colkey
+
+    @pl.when(ia > 0)
+    def _():
+        col_ref[:, sl] = jnp.minimum(colkey, col_ref[:, sl])
+
+
 def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
                 col_d_ref, col_i_ref, r1_ref, r2_ref, i1_ref, i2_ref, *,
                 tile_a, tile_b):
@@ -185,6 +256,41 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
     na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
     in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    if max(n_a, n_b) <= (1 << _IDX_BITS):
+        # packed-key path: one min per reduction instead of min+argmin
+        kernel = functools.partial(_knn_kernel_packed, tile_a=tile_a,
+                                   tile_b=tile_b)
+        row_p, col_p = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
+                pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
+                pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
+                pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+                pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_a, 2), jnp.int32),
+                jax.ShapeDtypeStruct((1, n_b), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_a, 1), jnp.int32),
+                pltpu.VMEM((tile_a, 1), jnp.int32),
+            ],
+            interpret=jax.default_backend() != "tpu",
+        )(desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2)
+        mask = jnp.int32(~_IDX_MASK)
+        row_d = jax.lax.bitcast_convert_type(row_p & mask, jnp.float32)
+        row_i = row_p & _IDX_MASK
+        col_d = jax.lax.bitcast_convert_type(col_p[0] & mask, jnp.float32)
+        col_i = col_p[0] & _IDX_MASK
+        return row_d, row_i, col_d, col_i
+
     kernel = functools.partial(_knn_kernel, tile_a=tile_a, tile_b=tile_b)
     row_d, row_i, col_d, col_i = pl.pallas_call(
         kernel,
