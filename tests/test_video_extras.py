@@ -335,3 +335,60 @@ def test_hud_glass_dg():
     assert _drawn_pixels(frame) > 500
     # rose is at the bottom center
     assert (frame[430:480, 260:380].sum(axis=2) > 30).sum() > 200
+
+
+def test_flight_data_tables(tmp_path):
+    """Correction/feature/horizon log tables (reference correction.py,
+    feat_data.py, horiz_data.py): load, sanitize, smooth, interpolate."""
+    import numpy as np
+
+    from imageanalysis_tpu.video import flight_data as fd
+
+    # attitude correction horiz CSV with one outlier to sanitize
+    t = np.arange(0, 20, 0.1)
+    roll = 0.02 * np.sin(t) + 0.002 * np.sin(20 * t)
+    pitch = 0.01 * np.cos(t)
+    roll[50] = 0.5          # > 0.08 rad → zeroed
+    horiz = tmp_path / "horiz.csv"
+    with open(horiz, "w") as f:
+        f.write("flight time (sec),ekf roll error (rad),ekf pitch error (rad)\n")
+        for i in range(len(t)):
+            f.write(f"{t[i]:.2f},{roll[i]:.6f},{pitch[i]:.6f}\n")
+    corr = fd.AttitudeCorrection().load_horiz(str(horiz))
+    q = corr.query(5.0)
+    assert abs(q["roll_rad"] - 0.02 * np.sin(5.0)) < 0.01
+    assert abs(corr.query(5.05)["roll_rad"]) < 0.08  # outlier suppressed
+    assert q["north_m"] == 0.0
+
+    # legacy table
+    old = tmp_path / "old.txt"
+    old.write_text("0.0 0.1 0.2 0.3 1.0 2.0 3.0\n"
+                   "10.0 0.1 0.2 0.3 1.0 2.0 3.0\n")
+    corr2 = fd.AttitudeCorrection().load_old(str(old))
+    assert corr2.query(5.0)["yaw_rad"] == 0.1
+    assert corr2.query(5.0)["east_m"] == 2.0
+
+    # feature rates
+    feat = tmp_path / "feat.csv"
+    with open(feat, "w") as f:
+        f.write("video time,p (rad/sec),q (rad/sec),r (rad/sec),"
+                "hp (rad/sec),hq (rad/sec),hr (rad/sec)\n")
+        for i in range(len(t)):
+            f.write(f"{t[i]:.2f},{0.1*np.sin(t[i]):.6f},0.0,0.0,"
+                    f"{0.1*np.sin(t[i]):.6f},0.0,0.0\n")
+    fr = fd.FeatureRates().load(str(feat)).smooth(2.0).make_interp()
+    p, qr, r = fr.query_rates(np.pi / 2)
+    assert abs(p - 0.1) < 0.02
+    assert r == 0.0
+
+    # horizon log + finite-difference rates
+    hor = tmp_path / "hor.csv"
+    with open(hor, "w") as f:
+        f.write("video time,camera roll (deg),camera pitch (deg)\n")
+        for i in range(len(t)):
+            f.write(f"{t[i]:.2f},{10*np.sin(t[i]):.4f},{2*t[i]:.4f}\n")
+    hl = fd.HorizonLog().load(str(hor)).make_rates()
+    # pitch rate = 2 deg/s everywhere
+    assert abs(np.median(hl.q) - 2.0 * np.pi / 180.0) < 1e-3
+    r_i, p_i = hl.interp_attitude()
+    assert abs(r_i(np.pi / 2) - 10.0) < 0.1
