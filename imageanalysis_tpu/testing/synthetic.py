@@ -38,13 +38,68 @@ def make_ground_texture(rng, size=2048, blur=2.0):
     return tex.astype(np.uint8)
 
 
+class WorldTexture:
+    """Deterministic unbounded ground texture, generated tile by tile.
+
+    A single global texture caps mission size (a 2812-image grid spans
+    kilometres); instead the world is divided into ``tile_m``-metre tiles
+    whose texture is generated from an rng seeded by the tile coordinates
+    — overlapping views see identical ground without ever materializing
+    the whole world. A small LRU keeps the working set (row-major capture
+    patterns revisit the same few tiles)."""
+
+    def __init__(self, seed, res=0.15, tile_m=256.0, cache_tiles=32):
+        self.seed = seed
+        self.res = res
+        self.tile_m = tile_m
+        self.tile_px = int(round(tile_m / res))
+        self._cache = {}
+        self._order = []
+        self.cache_tiles = cache_tiles
+
+    def _tile(self, ti, tj):
+        key = (ti, tj)
+        if key in self._cache:
+            return self._cache[key]
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + ti * 7919 + tj * 104729) & 0x7FFFFFFF)
+        tex = make_ground_texture(rng, size=self.tile_px)
+        self._cache[key] = tex
+        self._order.append(key)
+        if len(self._order) > self.cache_tiles:
+            del self._cache[self._order.pop(0)]
+        return tex
+
+    def patch(self, n_min, e_min, n_max, e_max):
+        """Texture patch covering the NED-aligned ground rect. Returns
+        (tex (h, w) uint8, S 3×3 mapping texture px → world (n, e, 1))."""
+        ti0 = int(np.floor(n_min / self.tile_m))
+        ti1 = int(np.floor(n_max / self.tile_m))
+        tj0 = int(np.floor(e_min / self.tile_m))
+        tj1 = int(np.floor(e_max / self.tile_m))
+        rows = []
+        for ti in range(ti0, ti1 + 1):
+            cols = [self._tile(ti, tj) for tj in range(tj0, tj1 + 1)]
+            rows.append(np.concatenate(cols, axis=1))
+        tex = np.concatenate(rows, axis=0)
+        n0 = ti0 * self.tile_m
+        e0 = tj0 * self.tile_m
+        # pixel (px, py) → n = n0 + py·res, e = e0 + px·res
+        S = np.array([[0.0, self.res, n0],
+                      [self.res, 0.0, e0],
+                      [0.0, 0.0, 1.0]])
+        return tex, S
+
+
 class SyntheticMission:
     def __init__(self, project_dir, n_images=6, img_size=(800, 600),
                  altitude=100.0, spacing=18.0, fx=700.0, texture_res=0.25,
                  yaw_jitter=3.0, pos_jitter=1.0, seed=7, rows=1,
-                 texture_px=2048):
+                 texture_px=2048, world_tiles=False):
         """texture_res: meters per texture pixel; texture_px: ground-plane
-        texture size (raise for large missions so the grid stays on it)."""
+        texture size (raise for large missions so the grid stays on it);
+        world_tiles=True switches to the unbounded procedural
+        WorldTexture — required for missions spanning kilometres."""
         self.project_dir = project_dir
         self.n_images = n_images
         self.w, self.h = img_size
@@ -59,19 +114,26 @@ class SyntheticMission:
         self.pos_jitter = pos_jitter
         self.rows = rows
         self.texture_px = texture_px
+        self.world_tiles = world_tiles
         self.poses = []  # (name, ned, aircraft ypr_deg)
 
     def generate(self):
         import cv2
 
         os.makedirs(self.project_dir, exist_ok=True)
-        tex = make_ground_texture(self.rng, size=self.texture_px)
-        ts = tex.shape[0]
-        # texture pixel (px, py) → world NED (n, e, 0): center the texture
-        res = self.texture_res
-        S = np.array([[0.0, res, -ts / 2.0 * res],   # n = (py − c)·res
-                      [res, 0.0, -ts / 2.0 * res],   # e = (px − c)·res
-                      [0.0, 0.0, 1.0]])
+        if self.world_tiles:
+            world = WorldTexture(self.rng.integers(1 << 30),
+                                 res=self.texture_res)
+            tex, S = None, None
+        else:
+            world = None
+            tex = make_ground_texture(self.rng, size=self.texture_px)
+            ts = tex.shape[0]
+            # texture pixel (px, py) → world NED (n, e, 0): center it
+            res = self.texture_res
+            S = np.array([[0.0, res, -ts / 2.0 * res],  # n = (py − c)·res
+                          [res, 0.0, -ts / 2.0 * res],  # e = (px − c)·res
+                          [0.0, 0.0, 1.0]])
         per_row = self.n_images // self.rows or 1
         # center the grid on the texture origin so large missions stay on
         # the rendered ground plane
@@ -91,7 +153,14 @@ class SyntheticMission:
             # aircraft level, camera mounted pitch -90 (nadir)
             ac_ypr = (yaw, 0.0, 0.0)
             name = f"IMG_{i:04d}.jpg"
-            self._render(cv2, tex, S, ned, ac_ypr, name)
+            if world is not None:
+                # footprint with margin at this altitude/attitude
+                half = (max(self.w, self.h) / self.fx) * self.alt * 0.8 + 30
+                tex_i, S_i = world.patch(ned[0] - half, ned[1] - half,
+                                         ned[0] + half, ned[1] + half)
+                self._render(cv2, tex_i, S_i, ned, ac_ypr, name)
+            else:
+                self._render(cv2, tex, S, ned, ac_ypr, name)
             records.append((name, ned, ac_ypr))
         self.poses = records
         self._write_pix4d(records)

@@ -319,3 +319,60 @@ def test_explorer_texture_pipeline(processed, tmp_path):
     names = ex._model_names()
     top = ex.select_top(names, (0.0, 0.0))
     assert top in names
+
+
+def test_world_texture_consistency():
+    """Procedural world tiles: deterministic, and overlapping patches see
+    identical ground (required so overlapping synthetic views match)."""
+    from imageanalysis_tpu.testing.synthetic import WorldTexture
+
+    w1 = WorldTexture(seed=123, res=0.5, tile_m=64.0)
+    w2 = WorldTexture(seed=123, res=0.5, tile_m=64.0)
+    t1, S1 = w1.patch(-10, -10, 100, 100)
+    t2, S2 = w2.patch(-10, -10, 100, 100)
+    np.testing.assert_array_equal(t1, t2)
+    # shifted patch: the overlapping world region has identical pixels
+    t3, S3 = w1.patch(30, 30, 160, 160)
+    # world point (64, 64) in both patches
+    def px_of(S, n, e):
+        py = (n - S[0, 2]) / S[0, 1]
+        px = (e - S[1, 2]) / S[1, 0]
+        return int(round(py)), int(round(px))
+    y1, x1 = px_of(S1, 64.0, 64.0)
+    y3, x3 = px_of(S3, 64.0, 64.0)
+    a = t1[y1:y1 + 50, x1:x1 + 50]
+    b = t3[y3:y3 + 50, x3:x3 + 50]
+    np.testing.assert_array_equal(a, b)
+    # different seed differs
+    w4 = WorldTexture(seed=124, res=0.5, tile_m=64.0)
+    t4, _ = w4.patch(-10, -10, 100, 100)
+    assert (t4 != t1).mean() > 0.5
+
+
+def test_world_tiles_mission_end_to_end(tmp_path):
+    """A world-tiled synthetic mission processes end to end (this is the
+    generator mode that makes 1000+ image missions possible)."""
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path / "m")
+    m = SyntheticMission(proj_dir, n_images=4, img_size=(640, 480),
+                         altitude=90.0, spacing=12.0, seed=3,
+                         texture_res=0.15, world_tiles=True)
+    m.generate()
+    db = str(tmp_path / "cams")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--scale", "1.0", "--ground", "0.0",
+                       "--batch-size", "2", "--min-chain-len", "2"])
+    assert rc == 0
+    proj = ProjectMgr(proj_dir)
+    proj.load_images_info()
+    ref = proj.ned_reference_lla()
+    true_ned = m.true_camera_ned(ref)
+    errs = [np.linalg.norm(
+        np.array(im.get_camera_pose(opt=im.has_opt_pose())[0]) - true_ned[i])
+        for i, im in enumerate(proj.image_list)]
+    assert np.mean(errs) < 0.3, errs
