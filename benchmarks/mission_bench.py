@@ -66,11 +66,13 @@ def main(argv=None):
     # sharper costs texture memory, blurrier starves SIFT of features
     tex_res = max(2.0 * 100.0 / fx, 0.05)
     tex_px = min(max(int(span / tex_res) + 512, 2048), 12000)
+    # beyond what a single texture covers, switch to procedural world tiles
+    world_tiles = span > tex_px * tex_res * 0.9
     m = SyntheticMission(proj_dir, n_images=args.n_images,
                          img_size=(args.width, args.height),
                          altitude=100.0, spacing=spacing, fx=fx,
                          texture_res=tex_res, rows=rows, seed=42,
-                         texture_px=tex_px)
+                         texture_px=tex_px, world_tiles=world_tiles)
     if regenerate:
         m.generate()
     else:
