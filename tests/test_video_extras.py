@@ -392,3 +392,28 @@ def test_flight_data_tables(tmp_path):
     assert abs(np.median(hl.q) - 2.0 * np.pi / 180.0) < 1e-3
     r_i, p_i = hl.interp_attitude()
     assert abs(r_i(np.pi / 2) - 10.0) < 0.1
+
+
+def test_ils_sun_angle_correction():
+    """ILS sun-angle correction (reference illumintation-sensor-test.py):
+    a level aircraft at local noon sees a small sun angle; a banked one
+    sees a larger angle and gets a >1 correction factor."""
+    import datetime
+
+    from imageanalysis_tpu.video import ils
+
+    t = datetime.datetime(2023, 6, 21, 17, 0,
+                          tzinfo=datetime.timezone.utc).timestamp()
+    ang_level = ils.sun_angle_deg(45.0, -93.0, 300.0, (0.0, 0.0, 0.0), t)
+    ang_banked = ils.sun_angle_deg(45.0, -93.0, 300.0, (0.0, 0.0, 40.0), t)
+    assert 0 < ang_level < 45          # near-noon summer sun is high
+    assert ang_banked != ang_level
+
+    rows = [("a.jpg", 45.0, -93.0, 300.0, 0.0, 0.0, 0.0, 1000.0),
+            ("b.jpg", 45.0, -93.0, 300.0, 0.0, 0.0, 40.0, 700.0)]
+    table = ils.correction_factors(rows, t)
+    assert len(table) == 2
+    names = [r[0] for r in table]
+    assert names == ["a.jpg", "b.jpg"]
+    for _, ang, raw, factor in table:
+        assert factor > 0
