@@ -83,3 +83,25 @@ def test_sharded_detection(rng):
         jnp.asarray(imgs), 96, 3)
     np.testing.assert_array_equal(np.asarray(valid_s), np.asarray(valid_1))
     np.testing.assert_allclose(np.asarray(kp_s), np.asarray(kp_1), atol=1e-4)
+
+
+def test_multihost_helpers():
+    """Single-process behavior of the multi-host bootstrap: no env → no
+    init; shard partitioning covers the list exactly once."""
+    import os
+
+    from imageanalysis_tpu.parallel import multihost
+
+    for k in ("JAX_COORDINATOR", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID",
+              "TPU_WORKER_HOSTNAMES"):
+        assert k not in os.environ or True
+    assert multihost.maybe_initialize_distributed() is False
+
+    items = list(range(103))
+    got = []
+    for i in range(4):
+        got += multihost.process_shard(items, axis_index=i, axis_total=4)
+    assert got == items
+
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size >= 1
