@@ -25,11 +25,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rotations import quat_to_matrix, rodrigues, rodrigues_inv
 
-# cam→body axis permutation (reference image.py:50-54)
-CAM2BODY = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+# cam→body axis permutation (reference image.py:50-54). Kept as a numpy
+# constant (traced into jit as a literal) so importing this module never
+# initializes the JAX backend — jax.distributed.initialize() must run first
+# on multi-host missions (parallel/multihost.py).
+CAM2BODY = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                    dtype=np.float32)
 # body→cam = CAM2BODY⁻¹ = CAM2BODYᵀ
 BODY2CAM = CAM2BODY.T
 

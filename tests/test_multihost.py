@@ -1,0 +1,58 @@
+"""Multi-host (DCN) execution test: 2 real processes, one global mesh.
+
+The reference is single-process (SURVEY.md §2f); our multi-host story is
+jax.distributed + one NamedSharding mesh spanning every process's devices
+(parallel/multihost.py). This test actually EXECUTES that path: two
+subprocesses, 4 virtual CPU devices each, Gloo collectives standing in for
+DCN, running the sharded BA LM step whose camera/point reductions cross the
+process boundary. Both ranks must agree on the step.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(REPO, "tests", "multihost_child.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_dcn_ba_step():
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_COORDINATOR"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+
+    # both ranks computed the identical replicated BA step
+    norms = [re.search(r"ba_step dc_norm=([\d.]+)", o) for o in outs]
+    assert all(norms), outs
+    assert norms[0].group(1) == norms[1].group(1)
+
+    # the work-list shards partition the list between ranks
+    shards = [re.search(r"shard (\d+)\.\.(\d+) n=(\d+)", o) for o in outs]
+    assert all(shards), outs
+    n0, n1 = int(shards[0].group(3)), int(shards[1].group(3))
+    assert n0 + n1 == 37
+    assert int(shards[1].group(1)) == int(shards[0].group(2)) + 1
