@@ -246,8 +246,9 @@ def _run(args) -> int:
         cams0, pts0, obs, cam_names, match_map = ba_setup.setup_from_matches(
             proj, matches, group_images=group_images,
             min_chain_len=args.min_chain_len, optimized=args.refine)
-        if len(cam_names) < 2:
-            log("Not enough cameras in group to optimize")
+        if len(cam_names) < 2 or len(pts0) == 0:
+            log(f"Not enough structure to optimize ({len(cam_names)} cameras,"
+                f" {len(pts0)} points) — check matching stage output")
             return 1
         model = proj.camera_model()
         if args.cam_calibration:

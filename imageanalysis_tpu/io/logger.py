@@ -21,11 +21,17 @@ def init(analysis_dir: str):
 
 
 def _write(*args):
+    global _logfile
     if _logfile is None:
         return
     msg = " ".join(str(a) for a in args)
-    with open(_logfile, "a") as f:
-        f.write(f"{datetime.datetime.now()}: {msg}\n")
+    try:
+        with open(_logfile, "a") as f:
+            f.write(f"{datetime.datetime.now()}: {msg}\n")
+    except OSError:
+        # best-effort log: the analysis dir vanished (e.g. a temp project
+        # was deleted); stop writing rather than poisoning later callers
+        _logfile = None
 
 
 def log(*args):

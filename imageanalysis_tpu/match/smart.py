@@ -275,6 +275,9 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
     from ..core.camera import ned_quat_to_rt, pixels_to_normalized
     from ..ops.triangulate import triangulate_two_view
 
+    if not pair_list:  # a mission with zero surviving matches
+        return [], []
+
     model = proj.camera_model()
 
     # one batched device call for every involved camera's projection

@@ -332,3 +332,13 @@ def test_smart_recovers_where_traditional_degrades(tmp_path):
     assert err_trad > 2.0 * err_smart, (
         f"expected traditional to degrade under 20° heading bias: "
         f"traditional={err_trad:.2f} m smart={err_smart:.2f} m")
+
+
+def test_pair_surface_stats_empty_pairs():
+    """A mission where matching found nothing must not crash the smart
+    requalification (regression: empty pair list reached the batched
+    triangulation and died unpacking a (0,)-shaped quat array)."""
+    from imageanalysis_tpu.match import smart
+
+    stats, affines = smart.pair_surface_stats_batched(None, [])
+    assert stats == [] and affines == []
