@@ -100,11 +100,18 @@ def main(argv=None):
 
     from imageanalysis_tpu.ba import bundle as bundle_mod
     from imageanalysis_tpu.features import detect as detect_mod
+    from imageanalysis_tpu.match import cleanup as cleanup_mod
+    from imageanalysis_tpu.match import groups as groups_mod
     from imageanalysis_tpu.match import matcher as matcher_mod
+    from imageanalysis_tpu.render import build_map as build_map_mod
 
     orig_detect = wrap(detect_mod, "detect_project_features", "detect")
     orig_match = wrap(matcher_mod, "find_matches", "match")
     orig_solve = wrap(bundle_mod, "solve", "ba")
+    orig_link = wrap(cleanup_mod, "link_matches", "link")
+    orig_tri = wrap(cleanup_mod, "triangulate_ground", "triangulate")
+    orig_groups = wrap(groups_mod, "compute", "groups")
+    orig_render = wrap(build_map_mod, "build", "render")
 
     ba_stats = {}
     orig_ba = bundle_mod.solve
@@ -133,6 +140,10 @@ def main(argv=None):
     detect_mod.detect_project_features = orig_detect
     matcher_mod.find_matches = orig_match
     bundle_mod.solve = orig_ba
+    cleanup_mod.link_matches = orig_link
+    cleanup_mod.triangulate_ground = orig_tri
+    groups_mod.compute = orig_groups
+    build_map_mod.build = orig_render
     assert rc == 0, "pipeline failed"
 
     # --- accuracy vs ground truth ----------------------------------------
@@ -194,6 +205,10 @@ def main(argv=None):
         "ba_iters_per_s": (round(ba_stats["iters"] / ba_s, 2)
                            if ba_stats.get("iters") and ba_s else None),
         "ba_mre_px": round(ba_stats.get("mre_px", float("nan")), 4),
+        "link_s": round(times.get("link", float("nan")), 1),
+        "triangulate_s": round(times.get("triangulate", float("nan")), 1),
+        "groups_s": round(times.get("groups", float("nan")), 1),
+        "render_s": round(times.get("render", float("nan")), 1),
         "cam_pos_err_mean_m": round(float(err.mean()), 3),
         "cam_pos_err_max_m": round(float(err.max()), 3),
         "extrapolated_2812img_1chip_s": round(est_2812_1chip, 0),
