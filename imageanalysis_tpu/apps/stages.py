@@ -199,6 +199,12 @@ def cmd_groups(args):
 
 
 def cmd_optimize(args):
+    # multi-host first: jax.distributed must initialize before any backend
+    # touch (parallel/multihost.py; env JAX_COORDINATOR/NUM_PROCESSES/
+    # PROCESS_ID, or TPU pod metadata)
+    from ..parallel import multihost
+    multi = multihost.maybe_initialize_distributed()
+
     from ..ba import bundle, setup as ba_setup
     from ..match import groups as groups_mod
 
@@ -210,10 +216,13 @@ def cmd_optimize(args):
         proj, matches, group_images=group_images, optimized=args.refine)
     model = proj.camera_model()
     cfg = bundle.BAConfig(ftol=args.ftol)
-    if args.mesh and args.mesh > 1:
-        import jax
+    import jax
+    n_mesh = (len(jax.devices()) if multi or args.mesh == "all"
+              else int(args.mesh or 0))
+    if n_mesh > 1:
         from ..parallel import sharded
-        mesh = sharded.make_mesh(jax.devices()[:args.mesh])
+        mesh = (multihost.global_mesh() if multi
+                else sharded.make_mesh(jax.devices()[:n_mesh]))
         result = sharded.solve_sharded(cams0, pts0, obs, model.K, model.dist,
                                        mesh, cfg, log_fn=log)
     else:
@@ -283,8 +292,9 @@ def main(argv=None):
         sp.add_argument("--group", type=int, default=0),
         sp.add_argument("--refine", action="store_true"),
         sp.add_argument("--ftol", type=float, default=1e-4),
-        sp.add_argument("--mesh", type=int, default=0,
-                        help="shard BA over N devices")))
+        sp.add_argument("--mesh", default=0,
+                        help="shard BA over N devices, or 'all' for every "
+                             "device (spans hosts under jax.distributed)")))
     add("render", cmd_render, lambda sp:
         sp.add_argument("--group", type=int, default=0))
 

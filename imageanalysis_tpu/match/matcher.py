@@ -21,6 +21,7 @@ static shapes. Pairs/sec/chip is the headline benchmark (BASELINE.md).
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import jax
@@ -334,6 +335,18 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
     if len(todo) < len(work):
         log(f"Resuming: {len(work) - len(todo)} pairs already matched")
 
+    # multi-host: each process matches its own contiguous slice of the pair
+    # list (pairs are independent — pure data parallelism over DCN), writes a
+    # rank shard, and rank 0 merges after a barrier (shared-FS pod layout,
+    # same assumption as the checkpoint design)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        from ..parallel import multihost
+        my_todo = multihost.process_shard(todo)
+        log(f"multi-host: rank {jax.process_index()} matching "
+            f"{len(my_todo)}/{len(todo)} pairs")
+        todo = my_todo
+
     matcher = BatchMatcher(proj, config)
     t0 = time.time()
     last_save = t0
@@ -355,12 +368,22 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
             # smart.requalify_pairs — discarding here would throw away pairs
             # whose only sin is the heading bias the corrections fix
         if time.time() - last_save > save_interval:
-            _save_all_matches(proj)
-            if smart_state is not None:
+            if n_proc > 1:
+                _save_rank_shard(proj)
+            else:
+                _save_all_matches(proj)
+            if smart_state is not None and (n_proc == 1
+                                            or jax.process_index() == 0):
                 smart_state.save()
             last_save = time.time()
-    _save_all_matches(proj)
-    if smart_state is not None:
+    if n_proc > 1:
+        _merge_multihost_matches(proj)
+    else:
+        _save_all_matches(proj)
+    if smart_state is not None and (n_proc == 1 or jax.process_index() == 0):
+        # NOTE: multi-host smart priors are rank-local; rank 0 persists its
+        # shard's estimates (requalify/yaw correction re-derives from the
+        # merged match files afterwards)
         smart_state.save()
     dt = time.time() - t0
     if todo:
@@ -373,3 +396,59 @@ def _save_all_matches(proj):
     for im in proj.image_list:
         if not im.matches_clean:
             im.save_matches()
+
+
+def _shard_dir(proj):
+    d = os.path.join(proj.analysis_dir, "match_shards")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _save_rank_shard(proj):
+    """Multi-host incremental save: this rank's match lists as one pickle.
+
+    Canonical per-image .match files can't be written concurrently — each
+    rank only holds its own pairs and would clobber the others' — so ranks
+    persist shards and rank 0 merges at the end."""
+    import pickle
+
+    rank = jax.process_index()
+    data = {im.name: im.match_list for im in proj.image_list
+            if im.match_list}
+    path = os.path.join(_shard_dir(proj), f"rank{rank}.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(data, f)
+    os.replace(tmp, path)
+
+
+def _merge_multihost_matches(proj):
+    """Barrier, then rank 0 unions every rank's shard into the canonical
+    per-image .match files (pairs are disjoint across ranks, so a key-wise
+    dict union is exact)."""
+    import glob
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    _save_rank_shard(proj)
+    multihost_utils.sync_global_devices("imageanalysis_match_shards")
+    if jax.process_index() == 0:
+        by_name = {im.name: im for im in proj.image_list}
+        for path in sorted(glob.glob(os.path.join(_shard_dir(proj),
+                                                  "rank*.pkl"))):
+            with open(path, "rb") as f:
+                data = pickle.load(f)
+            for name, ml in data.items():
+                im = by_name.get(name)
+                if im is None:
+                    continue
+                for other, idx_pairs in ml.items():
+                    if idx_pairs or other not in im.match_list:
+                        im.match_list[other] = idx_pairs
+                im.matches_clean = False
+        _save_all_matches(proj)
+        for path in glob.glob(os.path.join(_shard_dir(proj), "rank*.pkl")):
+            os.remove(path)
+    # everyone waits until the canonical files exist
+    multihost_utils.sync_global_devices("imageanalysis_match_merged")

@@ -76,3 +76,15 @@ dc, dp, _ = step(jnp.asarray(cams), jnp.asarray(pts), obs_dev, K,
 dc_host = np.asarray(dc.addressable_shards[0].data)
 assert np.isfinite(dc_host).all()
 print(f"proc {pid}: ba_step dc_norm={np.linalg.norm(dc_host):.6f}", flush=True)
+
+# distributed pair matching over a shared project dir (optional arg):
+# each rank matches its slice of the work list; rank 0 merges the shards
+if len(sys.argv) > 1:
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.match.matcher import MatchConfig, find_matches
+
+    proj = ProjectMgr(sys.argv[1])
+    proj.load_images_info()
+    total = find_matches(proj, MatchConfig(batch_size=4, n_hyp=64),
+                         save_interval=1e9)
+    print(f"proc {pid}: matched total={total}", flush=True)

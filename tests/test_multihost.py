@@ -56,3 +56,68 @@ def test_two_process_dcn_ba_step():
     n0, n1 = int(shards[0].group(3)), int(shards[1].group(3))
     assert n0 + n1 == 37
     assert int(shards[1].group(1)) == int(shards[0].group(2)) + 1
+
+
+def test_two_process_distributed_matching(tmp_path):
+    """Each rank matches its slice of the shared project's pair list; rank 0
+    merges the shards into the canonical .match files. Coverage must equal
+    the single-process run (counts may differ slightly: RANSAC keys depend
+    on batch boundaries)."""
+    import pickle
+
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path / "m")
+    m = SyntheticMission(proj_dir, n_images=6, img_size=(640, 480),
+                         altitude=90.0, spacing=12.0, seed=13)
+    m.generate()
+    db = str(tmp_path / "cams")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+    rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--scale", "1.0", "--ground", "0.0",
+                       "--batch-size", "4", "--min-chain-len", "2"])
+    assert rc == 0
+
+    meta = os.path.join(proj_dir, "ImageAnalysis", "meta")
+    single = {}
+    for f in os.listdir(meta):
+        if f.endswith(".match"):
+            with open(os.path.join(meta, f), "rb") as fh:
+                ml = pickle.load(fh)
+            single[f] = {k: len(v) for k, v in ml.items() if v}
+            os.remove(os.path.join(meta, f))
+    assert any(single.values())
+
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_COORDINATOR"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, proj_dir], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+        assert "matched total=" in out
+
+    merged = {}
+    for f in os.listdir(meta):
+        if f.endswith(".match"):
+            with open(os.path.join(meta, f), "rb") as fh:
+                ml = pickle.load(fh)
+            merged[f] = {k: len(v) for k, v in ml.items() if v}
+    # same pair coverage as the single-process run
+    for f, pairs in single.items():
+        assert set(merged.get(f, {})) == set(pairs), (f, pairs, merged.get(f))
+    # shards were cleaned up after the merge
+    shard_dir = os.path.join(proj_dir, "ImageAnalysis", "match_shards")
+    assert not os.listdir(shard_dir) if os.path.isdir(shard_dir) else True
