@@ -84,16 +84,30 @@ def run(args) -> int:
 
 
 def _run(args) -> int:
+    # multi-host bootstrap before any backend touch: with
+    # JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID (or TPU pod
+    # metadata) set, the same command runs the pipeline across hosts —
+    # host-side setup/graph stages on rank 0, detection + matching sharded
+    # over processes, BA on the global device mesh
+    from ..parallel import multihost
+    multi = multihost.maybe_initialize_distributed()
+
     from ..io import camera_db, pose as pose_mod
     from ..io.logger import log
     from ..io.project import ProjectMgr
 
+    rank0 = not multi or multihost.is_rank0()
     proj = ProjectMgr(args.project, create=True)
-    for step in args.refresh:
-        proj.state.clear(step)
+    if rank0:
+        for step in args.refresh:
+            proj.state.clear(step)
+    if multi:
+        multihost.barrier("refresh")
 
     # ---- Step 1: camera config (reference process.py:108-166) -----------
-    if not proj.state.check("STEP1"):
+    if not rank0:
+        pass  # rank 0 writes config/poses; reload after the barrier below
+    elif not proj.state.check("STEP1"):
         log("Step 1: setting up camera config")
         cam_key = args.camera or proj.detect_camera()
         cfg = camera_db.load(cam_key, db_dirs=args.camera_db) if cam_key else None
@@ -112,7 +126,9 @@ def _run(args) -> int:
         proj.state.update("STEP1")
 
     # ---- Step 2: poses (reference process.py:170-229) -------------------
-    if not proj.state.check("STEP2"):
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP2"):
         log("Step 2: setting aircraft/camera poses")
         pix4d = os.path.join(args.project, "pix4d.csv")
         meta_txt = os.path.join(args.project, "image-metadata.txt")
@@ -148,6 +164,12 @@ def _run(args) -> int:
         proj.state.update("STEP2")
     else:
         proj.load_images_info()
+    if multi:
+        multihost.barrier("steps12")
+        if not rank0:
+            # pick up rank 0's config.json + meta written above
+            proj = ProjectMgr(args.project, create=True)
+            proj.load_images_info()
 
     # ---- Step 3a: detection + matching (process.py:236-301) -------------
     from ..features.detect import DetectorConfig, detect_project_features
@@ -168,29 +190,37 @@ def _run(args) -> int:
         from ..match.smart import SmartState
         smart_state = SmartState(proj.analysis_dir)
         find_matches(proj, mcfg, smart_state=smart_state)
-        if args.match_strategy == "smart":
-            # apply the accumulated yaw-error estimates to the poses
-            # (reference smart.set_yaw_error_estimates, smart.py:341-346)
+        if rank0:
+            if args.match_strategy == "smart":
+                # apply the accumulated yaw-error estimates to the poses
+                # (reference smart.set_yaw_error_estimates, smart.py:341-346)
+                body2cam = proj.get_body2cam()
+                n_fix = 0
+                for im in proj.image_list:
+                    err = smart_state.get_yaw_error(im.name)
+                    if abs(err) > 0.5:
+                        im.set_aircraft_yaw_error_estimate(err, body2cam)
+                        im.save_meta()
+                        n_fix += 1
+                if n_fix:
+                    log(f"applied yaw-error corrections to {n_fix} images")
+            # bad-geometry rejection with the final poses (reference
+            # matcher.py:996-1005) — on the merged match files
             from ..match import smart as smart_mod
-            body2cam = proj.get_body2cam()
-            n_fix = 0
-            for im in proj.image_list:
-                err = smart_state.get_yaw_error(im.name)
-                if abs(err) > 0.5:
-                    im.set_aircraft_yaw_error_estimate(err, body2cam)
-                    im.save_meta()
-                    n_fix += 1
-            if n_fix:
-                log(f"applied yaw-error corrections to {n_fix} images")
-        # bad-geometry rejection with the final poses (reference
-        # matcher.py:996-1005)
-        from ..match import smart as smart_mod
-        smart_mod.requalify_pairs(proj, smart_state)
-        proj.save()
-        proj.state.update("STEP3a")
+            smart_mod.requalify_pairs(proj, smart_state)
+            proj.save()
+            proj.state.update("STEP3a")
+        if multi:
+            multihost.barrier("step3a")
+            if not rank0:
+                proj.load_images_info()
 
     # ---- Step 3b: cleanup + linking (process.py:305-319) ----------------
-    if not proj.state.check("STEP3b"):
+    # host-side graph stages (3b/3c/3d) run on rank 0; other ranks wait at
+    # the pre-BA barrier below and read the results from the shared FS
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP3b"):
         log("Step 3b: linking matches into chains")
         for im in proj.image_list:
             if im.kp is None:
@@ -202,7 +232,9 @@ def _run(args) -> int:
         proj.state.update("STEP3b")
 
     # ---- Step 3c: initial triangulation (process.py:321-333) ------------
-    if not proj.state.check("STEP3c"):
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP3c"):
         log("Step 3c: initial triangulation")
         matches = proj.load_matches_grouped()
         if args.ground is not None:
@@ -225,7 +257,9 @@ def _run(args) -> int:
         proj.state.update("STEP3c")
 
     # ---- Step 3d: grouping (process.py:335-363) -------------------------
-    if not proj.state.check("STEP3d"):
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP3d"):
         log("Step 3d: connectivity grouping")
         matches = proj.load_matches_grouped()
         grps = groups_mod.compute(proj.image_list, matches,
@@ -234,6 +268,9 @@ def _run(args) -> int:
         proj.save_matches_grouped(matches)
         log("Groups:", [len(g) for g in grps])
         proj.state.update("STEP3d")
+
+    if multi:
+        multihost.barrier("steps3bcd")
 
     # ---- Step 4: bundle adjustment (process.py:366-407) -----------------
     if not proj.state.check("STEP4"):
@@ -252,27 +289,47 @@ def _run(args) -> int:
             return 1
         model = proj.camera_model()
         if args.cam_calibration:
-            from ..ba import calibrate
-            result, K_opt, dist_opt = calibrate.solve_with_calibration(
-                cams0, pts0, obs, model.K, model.dist, log_fn=log)
-            # persist as K_opt / dist_coeffs_opt (reference camera.py:78-113)
-            proj.camera.setlist("K_opt", np.asarray(K_opt).ravel())
-            proj.camera.setlist("dist_coeffs_opt", dist_opt)
-            proj.save()
+            # calibration's bordered Schur system is rank-0-local; other
+            # ranks just wait at the step-4 barrier below
+            if not rank0:
+                result = None
+            else:
+                from ..ba import calibrate
+                result, K_opt, dist_opt = calibrate.solve_with_calibration(
+                    cams0, pts0, obs, model.K, model.dist, log_fn=log)
+                # persist as K_opt / dist_coeffs_opt (camera.py:78-113)
+                proj.camera.setlist("K_opt", np.asarray(K_opt).ravel())
+                proj.camera.setlist("dist_coeffs_opt", dist_opt)
+                proj.save()
+        elif multi:
+            # every rank executes the same sharded solve over the global
+            # mesh: the Schur reductions psum over ICI + DCN
+            from ..parallel import sharded
+            result = sharded.solve_sharded(
+                cams0, pts0, obs, model.K, model.dist,
+                multihost.global_mesh(), bundle.BAConfig(),
+                verbose=rank0, log_fn=log)
         else:
             result = bundle.solve(cams0, pts0, obs, model.K, model.dist,
                                   bundle.BAConfig(), log_fn=log)
         # re-register onto the GPS solution (reference optimizer.py:583-683)
-        new_cams, new_pts, _ = bundle.refit(result.cams, result.pts,
-                                            cams0[:, :3])
-        result = result._replace(cams=new_cams, pts=new_pts)
-        ba_setup.write_back(proj, matches, result, cam_names, match_map)
-        proj.save_matches_grouped(matches)
-        log(f"BA finished: mre={result.mre:.3f}px over {len(cam_names)} cameras")
-        proj.state.update("STEP4")
+        if result is not None:
+            new_cams, new_pts, _ = bundle.refit(result.cams, result.pts,
+                                                cams0[:, :3])
+            result = result._replace(cams=new_cams, pts=new_pts)
+        if rank0:
+            ba_setup.write_back(proj, matches, result, cam_names, match_map)
+            proj.save_matches_grouped(matches)
+            log(f"BA finished: mre={result.mre:.3f}px over "
+                f"{len(cam_names)} cameras")
+            proj.state.update("STEP4")
+        if multi:
+            multihost.barrier("step4")
 
     # ---- Step 5: render (process.py:411-420) ----------------------------
-    if not proj.state.check("STEP5"):
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP5"):
         log("Step 5: building surface/render outputs")
         from ..render import build_map
         grps = groups_mod.load(proj.analysis_dir)
@@ -290,6 +347,8 @@ def _run(args) -> int:
                                   resolution=args.geotiff_res,
                                   ground=args.ground or 0.0)
         proj.state.update("STEP5")
+    if multi:
+        multihost.barrier("step5")
     log("Pipeline complete.")
     return 0
 

@@ -114,12 +114,33 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
 
     from ..io.logger import log, qlog
 
+    # multi-host: each process detects its own image slice (caches are
+    # per-image files on the shared FS), then everyone syncs so later
+    # stages can lazily load any image's features. The shard MUST come from
+    # the deterministic full image list, not the uncached-todo list — ranks
+    # scan the cache at different moments and would shard inconsistently.
+    n_proc = 1
+    try:
+        import jax
+        n_proc = jax.process_count()
+    except Exception:  # jax absent/uninitialized: single-process CV path
+        pass
+    mine = proj.image_list
+    if n_proc > 1:
+        from ..parallel import multihost
+        mine = multihost.process_shard(proj.image_list)
+        log(f"multi-host: rank {jax.process_index()} detecting "
+            f"{len(mine)}/{len(proj.image_list)} images")
+
     todo = []
-    for image in proj.image_list:
+    for image in mine:
         if use_cache and image.load_features() and image.load_descriptors():
             continue
         todo.append(image)
     if not todo:
+        if n_proc > 1:
+            from ..parallel import multihost
+            multihost.barrier("detect")
         return
 
     cam_w = int(proj.camera.get("width_px", 0))
@@ -168,3 +189,6 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             pending.append(writers.submit(store, image, kp, kp_meta, des))
         for p in pending:
             p.result()
+    if n_proc > 1:
+        from ..parallel import multihost
+        multihost.barrier("detect")

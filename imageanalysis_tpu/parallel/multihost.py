@@ -73,6 +73,22 @@ def global_mesh(axis="dp"):
     return Mesh(np.array(jax.devices()), (axis,))
 
 
+def barrier(name="sync"):
+    """Cross-process sync point; no-op single-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def is_rank0():
+    import jax
+
+    return jax.process_index() == 0
+
+
 def process_shard(items, axis_index=None, axis_total=None):
     """This process's contiguous slice of a host-side work list (pairs,
     images): multi-host data parallelism for the stages that never touch

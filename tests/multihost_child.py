@@ -79,7 +79,17 @@ print(f"proc {pid}: ba_step dc_norm={np.linalg.norm(dc_host):.6f}", flush=True)
 
 # distributed pair matching over a shared project dir (optional arg):
 # each rank matches its slice of the work list; rank 0 merges the shards
-if len(sys.argv) > 1:
+if len(sys.argv) > 2 and sys.argv[1] == "--process":
+    # full multi-host pipeline: the same process.main command on every rank
+    from imageanalysis_tpu.apps import process
+
+    rc = process.main([sys.argv[2], "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", sys.argv[3], "--scale", "1.0",
+                       "--ground", "0.0", "--batch-size", "4",
+                       "--min-chain-len", "2"])
+    assert rc == 0, rc
+    print(f"proc {pid}: pipeline rc={rc}", flush=True)
+elif len(sys.argv) > 1:
     from imageanalysis_tpu.io.project import ProjectMgr
     from imageanalysis_tpu.match.matcher import MatchConfig, find_matches
 

@@ -121,3 +121,53 @@ def test_two_process_distributed_matching(tmp_path):
     # shards were cleaned up after the merge
     shard_dir = os.path.join(proj_dir, "ImageAnalysis", "match_shards")
     assert not os.listdir(shard_dir) if os.path.isdir(shard_dir) else True
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """The SAME `process` command on 2 ranks runs the whole pipeline
+    multi-host: rank-0 host stages, sharded detection + matching, BA on
+    the global mesh — and recovers the synthetic camera poses."""
+    import numpy as np
+
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    proj_dir = str(tmp_path / "m")
+    m = SyntheticMission(proj_dir, n_images=6, img_size=(640, 480),
+                         altitude=90.0, spacing=12.0, seed=21)
+    m.generate()
+    db = str(tmp_path / "cams")
+    camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_COORDINATOR"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, "--process", proj_dir, db], env=env,
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+        assert "pipeline rc=0" in out
+
+    proj = ProjectMgr(proj_dir)
+    proj.load_images_info()
+    ref = proj.ned_reference_lla()
+    true_ned = m.true_camera_ned(ref)
+    est = np.asarray([im.get_camera_pose(opt=True)[0]
+                      for im in proj.image_list])
+    err = np.linalg.norm(est - true_ned[: len(est)], axis=1)
+    assert err.mean() < 1.0, err
+    # render outputs from rank 0
+    models = os.path.join(proj_dir, "ImageAnalysis", "models")
+    assert os.path.isfile(os.path.join(models, "surface.bin"))
