@@ -21,6 +21,8 @@ import json
 import os
 from math import atan2, pi
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..io.logger import log, qlog
@@ -260,7 +262,7 @@ def estimate_yaw_error(proj, i1, i2):
     return yaw_error, dist, crs_aff, weight
 
 
-def pair_surface_stats_batched(proj, pair_list, chunk=64):
+def pair_surface_stats_batched(proj, pair_list, chunk=256):
     """Triangulated (avg_elev, std, baseline) for many pairs in few device
     calls: pairs are bucketed by padded match count, stacked, and solved
     with one vmapped two-view triangulation per bucket chunk. Per-pair
@@ -298,63 +300,80 @@ def pair_surface_stats_batched(proj, pair_list, chunk=64):
     P_by_name = {nm: P_all[i] for i, nm in enumerate(names)}
     ned_by_name = {nm: neds[i] for i, nm in enumerate(names)}
 
-    buckets = {}
-    for k, (i1, i2) in enumerate(pair_list):
-        n = len(i1.match_list[i2.name])
-        npad = max(256, 1 << (n - 1).bit_length())
-        buckets.setdefault(npad, []).append(k)
-
-    from ..core.transforms import fit_similarity_2d
-
-    tri_b = jax.jit(jax.vmap(lambda P1, P2, a, b:
-                             triangulate_two_view(P1, P2, a, b)),
-                    static_argnames=())
-    fit_b = jax.jit(jax.vmap(fit_similarity_2d))
+    # fixed-size subsample per pair: the elevation mean/std and the 4-param
+    # similarity are statistics — 256 evenly strided matches estimate them
+    # as well as all ~1500, and the fixed shape means ONE compiled graph
+    # (no per-match-count buckets) and one device dispatch per chunk
+    cap = 256
     results = [None] * len(pair_list)
     affines = [None] * len(pair_list)
-    for npad, idxs in buckets.items():
-        for s in range(0, len(idxs), chunk):
-            group = idxs[s:s + chunk]
-            # pad the group to the full chunk (repeat the last pair, ignore
-            # extras): every (npad, B) shape variant costs a fresh XLA
-            # compile — ~60-90 s each through the remote-compile tunnel
-            n_real = len(group)
-            group = group + [group[-1]] * (chunk - n_real)
-            B = len(group)
-            uv1 = np.zeros((B, npad, 2), np.float32)
-            uv2 = np.zeros((B, npad, 2), np.float32)
-            msk = np.zeros((B, npad), bool)
-            P1 = np.zeros((B, 3, 4), np.float32)
-            P2 = np.zeros((B, 3, 4), np.float32)
-            dists = np.zeros(B)
-            for bi, k in enumerate(group):
-                i1, i2 = pair_list[k]
-                pairs = i1.match_list[i2.name]
-                n = len(pairs)
-                if i1.kp is None:
-                    i1.load_features()
-                if i2.kp is None:
-                    i2.load_features()
-                uv1[bi, :n] = [i1.kp[a] for a, _ in pairs]
-                uv2[bi, :n] = [i2.kp[b] for _, b in pairs]
-                msk[bi, :n] = True
-                P1[bi] = P_by_name[i1.name]
-                P2[bi] = P_by_name[i2.name]
-                dists[bi] = np.linalg.norm(ned_by_name[i2.name]
-                                           - ned_by_name[i1.name])
-            n1 = pixels_to_normalized(jnp.asarray(uv1), model.K)
-            n2 = pixels_to_normalized(jnp.asarray(uv2), model.K)
-            pts = np.asarray(tri_b(jnp.asarray(P1), jnp.asarray(P2), n1, n2))
-            # similarity uv2→uv1 for the yaw-error estimator, same batch
-            A = np.asarray(fit_b(jnp.asarray(uv2), jnp.asarray(uv1),
-                                 jnp.asarray(msk.astype(np.float32))))
-            for bi, k in enumerate(group[:n_real]):
-                z = pts[bi][msk[bi], 2]
-                if len(z):
-                    results[k] = (float(-z.mean()), float(z.std()),
-                                  float(dists[bi]))
-                    affines[k] = A[bi]
+    for s in range(0, len(pair_list), chunk):
+        group = list(range(s, min(s + chunk, len(pair_list))))
+        n_real = len(group)
+        # two padded batch shapes only (64 / chunk): each variant is one
+        # XLA compile, and small tails shouldn't pay the full-chunk upload
+        B = 64 if n_real <= 64 else chunk
+        group = group + [group[-1]] * (B - n_real)
+        uv1 = np.zeros((B, cap, 2), np.float32)
+        uv2 = np.zeros((B, cap, 2), np.float32)
+        msk = np.zeros((B, cap), np.float32)
+        P1 = np.zeros((B, 3, 4), np.float32)
+        P2 = np.zeros((B, 3, 4), np.float32)
+        dists = np.zeros(B)
+        for bi, k in enumerate(group):
+            i1, i2 = pair_list[k]
+            pairs = i1.match_list[i2.name]
+            if i1.kp is None:
+                i1.load_features()
+            if i2.kp is None:
+                i2.load_features()
+            arr = np.asarray(pairs, np.int64).reshape(-1, 2)
+            if len(arr) > cap:
+                arr = arr[np.linspace(0, len(arr) - 1, cap).astype(int)]
+            n = len(arr)
+            uv1[bi, :n] = i1.kp[arr[:, 0]]
+            uv2[bi, :n] = i2.kp[arr[:, 1]]
+            msk[bi, :n] = 1.0
+            P1[bi] = P_by_name[i1.name]
+            P2[bi] = P_by_name[i2.name]
+            dists[bi] = np.linalg.norm(ned_by_name[i2.name]
+                                       - ned_by_name[i1.name])
+        mean_z, std_z, A, cnt = _pair_stats_fused(
+            jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+            jnp.asarray(uv2), jnp.asarray(msk), model.K)
+        # one small download for the whole chunk (B scalars + B 2×3)
+        mean_z = np.asarray(mean_z)
+        std_z = np.asarray(std_z)
+        A = np.asarray(A)
+        cnt = np.asarray(cnt)
+        for bi, k in enumerate(group[:n_real]):
+            if cnt[bi] > 0:
+                results[k] = (float(-mean_z[bi]), float(std_z[bi]),
+                              float(dists[bi]))
+                affines[k] = A[bi]
     return results, affines
+
+
+@jax.jit
+def _pair_stats_fused(P1, P2, uv1, uv2, msk, K):
+    """Normalize → triangulate → masked z stats + uv2→uv1 similarity, one
+    dispatch for a whole pair chunk. Downloading the full point clouds (and
+    dispatching normalize/triangulate/fit separately) cost ~2.6 s per
+    64-pair chunk on tunneled runtimes; this returns only per-pair scalars."""
+    from ..core.camera import pixels_to_normalized
+    from ..core.transforms import fit_similarity_2d
+    from ..ops.triangulate import triangulate_two_view
+
+    n1 = pixels_to_normalized(uv1, K)
+    n2 = pixels_to_normalized(uv2, K)
+    pts = jax.vmap(triangulate_two_view)(P1, P2, n1, n2)
+    cnt = jnp.sum(msk, axis=-1)
+    denom = jnp.maximum(cnt, 1.0)
+    z = pts[..., 2]
+    mean_z = jnp.sum(z * msk, axis=-1) / denom
+    var_z = jnp.sum(msk * (z - mean_z[:, None]) ** 2, axis=-1) / denom
+    A = jax.vmap(fit_similarity_2d)(uv2, uv1, msk)
+    return mean_z, jnp.sqrt(var_z), A, cnt
 
 
 def requalify_pairs(proj, smart: SmartState, std_cutoff=50.0):
