@@ -38,7 +38,11 @@ def maybe_initialize_distributed():
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
     explicit = coord and nproc is not None and pid is not None
-    if not explicit and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+    # pod autodetect only when the worker list names OTHER hosts — some
+    # single-host TPU runtimes set TPU_WORKER_HOSTNAMES for themselves
+    workers = [w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+               if w.strip()]
+    if not explicit and len(workers) < 2:
         return False
     try:
         if explicit:
