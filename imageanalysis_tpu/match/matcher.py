@@ -92,6 +92,23 @@ def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
         desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("transform", "n_hyp", "use_pallas", "bf16"))
+def match_pair_batch_packed(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
+                            ratio=0.75, thresh=3.0, transform="homography",
+                            n_hyp=512, use_pallas=False, bf16=True):
+    """match_pair_batch with the result packed for the host: one (B, npad)
+    int16 array, best-B-index for survivors, −1 elsewhere. Halves the
+    per-chunk download (int32 best_j + bool ok → int16) on tunneled
+    runtimes where the transfer is a visible slice of the match loop.
+    npad must stay < 32768 (≈15× the largest per-image feature budget)."""
+    best_j, ok = match_pair_batch.__wrapped__(
+        desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K, ratio=ratio,
+        thresh=thresh, transform=transform, n_hyp=n_hyp,
+        use_pallas=use_pallas, bf16=bf16)
+    return jnp.where(ok, best_j, -1).astype(jnp.int16)
+
+
 class BatchMatcher:
     """Host orchestration: pack pair batches, run the device call, unpack.
 
@@ -213,31 +230,16 @@ class BatchMatcher:
                 n_a[bi], n_b[bi] = na, nb
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
-            best_j, ok = match_pair_batch(
+            packed = match_pair_batch_packed(
                 jnp.asarray(desc_a), jnp.asarray(desc_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
                 jnp.asarray(n_a), jnp.asarray(n_b), keys, self.K,
                 ratio=cfg.ratio, thresh=self.thresh,
                 transform=self._dev_transform(),
                 n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=cfg.bf16)
-            best_j = np.asarray(best_j)
-            ok = np.asarray(ok)
-            for bi, (i, j) in enumerate(chunk):
-                i1, i2 = images[i], images[j]
-                rows = np.nonzero(ok[bi])[0]
-                cols = best_j[bi, rows]
-                rows, cols = self._post_filter(i1, i2, rows, cols)
-                if len(rows) < self.config.min_pairs:
-                    # too few survivors — record empty result (reference
-                    # matcher.py:129-136 discards < 25 inliers)
-                    rows = rows[:0]
-                    cols = cols[:0]
-                idx_pairs = np.stack([rows, cols], axis=1).astype(int).tolist()
-                i1.match_list[i2.name] = idx_pairs
-                i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
-                i1.matches_clean = False
-                i2.matches_clean = False
-                n_matched += len(idx_pairs)
+            n_matched += _store_unpack(images, chunk, np.asarray(packed),
+                                       self.config.min_pairs,
+                                       post_filter=self._post_filter)
         return n_matched
 
     def _match_pairs_store(self, pairs, progress=True):
@@ -270,24 +272,24 @@ class BatchMatcher:
             # dummy padding slots match an image against itself; drop below
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
-            best_j, ok = match_pair_batch(
+            packed = match_pair_batch_packed(
                 desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
                 ratio=cfg.ratio, thresh=self.thresh,
                 transform=self._dev_transform(),
                 n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
-            n_matched += _store_unpack(images, chunk, np.asarray(best_j),
-                                       np.asarray(ok), cfg.min_pairs,
+            n_matched += _store_unpack(images, chunk, np.asarray(packed),
+                                       cfg.min_pairs,
                                        post_filter=self._post_filter)
         return n_matched
 
 
-def _store_unpack(images, chunk, best_j, ok, min_pairs, post_filter=None):
-    """Shared result unpacking: dense (best_j, ok) → match_list entries."""
+def _store_unpack(images, chunk, packed, min_pairs, post_filter=None):
+    """Shared result unpacking: packed int16 (−1 = no match) → match_list."""
     n_matched = 0
     for bi, (i, j) in enumerate(chunk):
         i1, i2 = images[i], images[j]
-        rows = np.nonzero(ok[bi])[0]
-        cols = best_j[bi, rows]
+        rows = np.nonzero(packed[bi] >= 0)[0]
+        cols = packed[bi, rows].astype(np.int64)
         if post_filter is not None:
             rows, cols = post_filter(i1, i2, rows, cols)
         if len(rows) < min_pairs:

@@ -17,14 +17,43 @@ def projection_matrix(R, t, K):
     return K @ Rt
 
 
+def solve3x3(A, b):
+    """Closed-form batched 3×3 solve via the adjugate.
+
+    jnp.linalg.solve lowers to a general LU kernel whose TPU executable
+    compiles for minutes at mission batch shapes; the cofactor formula is
+    a handful of fused multiplies. A: (..., 3, 3), b: (..., 3)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    x0 = c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]
+    x1 = c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]
+    x2 = c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]
+    return jnp.stack([x0, x1, x2], axis=-1) / det[..., None]
+
+
 def triangulate_two_view(P1, P2, uv1, uv2, gn_iters=2):
     """DLT triangulation of correspondences seen by two cameras.
 
     P1/P2: (3,4) projection matrices; uv1/uv2: (N,2) pixel coords
     (undistorted). Returns (N,3) points — cv2.triangulatePoints equivalent.
-    Solves the 4×4 homogeneous system per point via eigh of AᵀA, then applies
-    ``gn_iters`` Gauss–Newton reprojection refinements — the DLT alone at
-    float32 loses ~0.2 m on poorly conditioned points; GN restores it.
+    Initializes with the inhomogeneous DLT (w=1): the 4×3 system solved by
+    3×3 normal equations in closed form, then applies ``gn_iters``
+    Gauss–Newton reprojection refinements. (A 4×4 eigh init is marginally
+    more robust for points at infinity — irrelevant for terrain — but its
+    TPU executable compiles in minutes and loads in tens of seconds; the
+    closed-form solve compiles in seconds and GN recovers the accuracy.)
     """
     def rows(P, uv):
         # u·P[2] − P[0],  v·P[2] − P[1]
@@ -34,15 +63,14 @@ def triangulate_two_view(P1, P2, uv1, uv2, gn_iters=2):
 
     a0, a1 = rows(P1, uv1)
     b0, b1 = rows(P2, uv2)
-    A = jnp.stack([a0, a1, b0, b1], axis=-2)  # (N, 4, 4)
+    A4 = jnp.stack([a0, a1, b0, b1], axis=-2)  # (N, 4, 4)
     # row normalization for conditioning
-    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[..., :, 0]
-    w = X[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    pts = X[..., :3] / w[..., None]
+    A4 = A4 / jnp.maximum(jnp.linalg.norm(A4, axis=-1, keepdims=True), 1e-12)
+    A = A4[..., :3]                            # (N, 4, 3)
+    b = -A4[..., 3]                            # (N, 4)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A) + 1e-12 * jnp.eye(3)
+    Atb = jnp.einsum("...ki,...k->...i", A, b)
+    pts = solve3x3(AtA, Atb)
 
     def residual_jac(P, uv, p):
         q = p @ P[:, :3].T + P[:, 3]           # (N, 3)
@@ -59,7 +87,7 @@ def triangulate_two_view(P1, P2, uv1, uv2, gn_iters=2):
         r = jnp.concatenate([r1, r2], axis=-1)  # (N, 4)
         JtJ = jnp.einsum("...ki,...kj->...ij", J, J) + 1e-9 * jnp.eye(3)
         Jtr = jnp.einsum("...ki,...k->...i", J, r)
-        pts = pts - jnp.linalg.solve(JtJ, Jtr[..., None])[..., 0]
+        pts = pts - solve3x3(JtJ, Jtr)
     return pts
 
 
@@ -79,7 +107,7 @@ def triangulate_rays(origins, dirs, mask=None):
     b = jnp.sum(jnp.einsum("...nij,...nj->...ni", Pm, origins), axis=-2)
     # regularize in case of degenerate (parallel) rays
     A = A + 1e-9 * eye
-    return jnp.linalg.solve(A, b[..., None])[..., 0]
+    return solve3x3(A, b)
 
 
 def reprojection_depths(R, t, pts):

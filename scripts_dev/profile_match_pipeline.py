@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 from imageanalysis_tpu.io.project import ProjectMgr
 from imageanalysis_tpu.match.matcher import (BatchMatcher, MatchConfig,
-                                             match_pair_batch, _store_unpack)
+                                             match_pair_batch_packed,
+                                             _store_unpack)
 from imageanalysis_tpu.match import worklist
 
 proj = ProjectMgr(proj_dir)
@@ -52,23 +53,22 @@ for trial in range(3):
     matcher.key, sub = jax.random.split(matcher.key)
     keys = jax.random.split(sub, B)
     bf16 = matcher.store.dtype == "uint8" or cfg.bf16
-    best_j, ok = match_pair_batch(
+    packed = match_pair_batch_packed(
         desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, matcher.K,
         ratio=cfg.ratio, thresh=matcher.thresh,
         transform="homography", n_hyp=cfg.n_hyp,
         use_pallas=cfg.use_pallas, bf16=bf16)
     # force completion: download a dependent scalar
-    _sync = int(jnp.sum(ok.astype(jnp.int32)))
+    _sync = int(jnp.sum((packed >= 0).astype(jnp.int32)))
     t["device_match"] = time.time() - tt
 
     tt = time.time()
-    bj = np.asarray(best_j)
-    okh = np.asarray(ok)
+    bj = np.asarray(packed)
     t["download"] = time.time() - tt
-    print("   best_j", bj.shape, bj.dtype, "ok", okh.shape, okh.dtype)
+    print("   packed", bj.shape, bj.dtype)
 
     tt = time.time()
-    n = _store_unpack(proj.image_list, chunk, bj, okh, cfg.min_pairs)
+    n = _store_unpack(proj.image_list, chunk, bj, cfg.min_pairs)
     t["unpack"] = time.time() - tt
 
     tt = time.time()
