@@ -161,6 +161,22 @@ def main():
             "batch": BATCH,
         },
     }
+    # attach the measured mission-scale result (BASELINE.md target) if a
+    # committed mission bench exists — benchmarks/mission_bench.py
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_mission_2812.json")) as f:
+            m = json.load(f)
+        result["detail"]["mission_2812"] = {
+            "pipeline_total_s_1chip": m.get("pipeline_total_s"),
+            "detect_match_ba_s_1chip": m.get("extrapolated_2812img_1chip_s"),
+            "extrapolated_8chip_s": m.get("extrapolated_2812img_8chip_s"),
+            "target_s": m.get("target_s"),
+            "ba_mre_px": m.get("ba_mre_px"),
+            "cam_pos_err_mean_m": m.get("cam_pos_err_mean_m"),
+        }
+    except (OSError, ValueError):
+        pass
     print(json.dumps(result))
 
 
