@@ -163,6 +163,12 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             it = tqdm(todo, desc="detect")
         except ImportError:
             pass
+    use_async = config.backend == "tpu"
+    if use_async:
+        import cv2
+
+        from . import sift_tpu
+
     with cf.ThreadPoolExecutor(max_workers=prefetch) as loaders, \
             cf.ThreadPoolExecutor(max_workers=2) as writers:
         pending = []
@@ -171,6 +177,15 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
         for im in todo[:prefetch * 2]:
             window.append(loaders.submit(load, im))
             next(src)
+        inflight = None                   # (image, device outs, scale)
+
+        def finalize(item):
+            image, outs, scale = item
+            kp, kp_meta, des = sift_tpu.detect_finalize(outs)
+            pending.append(writers.submit(
+                store, image, kp / scale, kp_meta,
+                np.ascontiguousarray(des, dtype=np.float32)))
+
         for _tick in it:
             fut = window.pop(0)
             for im in src:
@@ -185,8 +200,23 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                     f"image dimensions {w}x{h} do not match camera config "
                     f"{cam_w}x{cam_h} — fix the camera config vs image size "
                     f"issue (reference image.py:300-306)")
-            kp, kp_meta, des = detect(gray, config)
-            pending.append(writers.submit(store, image, kp, kp_meta, des))
+            if use_async:
+                # double-buffer: dispatch this image, then download the
+                # previous one while the device works — overlaps the
+                # tunnel transfer + host store with device compute
+                scale = config.scale
+                scaled = (cv2.resize(gray, (0, 0), fx=scale, fy=scale)
+                          if scale != 1.0 else gray)
+                outs = sift_tpu.detect_dispatch(
+                    scaled, config.max_features or 4096)
+                if inflight is not None:
+                    finalize(inflight)
+                inflight = (image, outs, scale)
+            else:
+                kp, kp_meta, des = detect(gray, config)
+                pending.append(writers.submit(store, image, kp, kp_meta, des))
+        if inflight is not None:
+            finalize(inflight)
         for p in pending:
             p.result()
     if n_proc > 1:

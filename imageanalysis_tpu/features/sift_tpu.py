@@ -450,6 +450,35 @@ def detect_and_compute(gray: np.ndarray, max_features=4096, upsample=True):
     return kp[0][v], meta[0][v], desc[0][v]
 
 
+def detect_dispatch(gray: np.ndarray, max_features=4096, upsample=True):
+    """Dispatch one image's detection WITHOUT synchronizing.
+
+    Returns opaque device arrays for detect_finalize. Lets callers
+    double-buffer: dispatch image i, then download image i−1 while the
+    device works — on tunneled runtimes the per-image transfer is a large
+    slice of detector wall-clock and this overlaps it with compute."""
+    img = np.asarray(gray)
+    if img.dtype != np.uint8:
+        img = img.astype(np.float32)
+    H, W = img.shape[-2:]
+    base_min = min(H, W) * (2 if upsample else 1)
+    n_octaves = max(int(math.log2(base_min / 32.0)), 1)
+    per_octave = max(max_features // n_octaves, 64)
+    chunk = jnp.asarray(img[None])
+    if chunk.dtype == jnp.float32:
+        chunk = chunk / 255.0
+    return _detect_batch(chunk, per_octave, n_octaves, upsample=upsample,
+                         out_slots=int(max_features))
+
+
+def detect_finalize(outs):
+    """Materialize a detect_dispatch result → (kp, meta, desc) numpy."""
+    kp, meta, desc, valid = outs
+    v = np.asarray(valid[0])
+    return (np.asarray(kp[0])[v], np.asarray(meta[0])[v],
+            np.asarray(desc[0]).astype(np.float32)[v])
+
+
 def detect_and_compute_batch(grays: np.ndarray, max_features=4096,
                              max_chunk=None, upsample=True):
     """Batched detection. grays: (B, H, W) uint8/float. Returns numpy
