@@ -78,19 +78,45 @@ def _residuals(cams, pts, obs, K, dist):
     return (pred - obs.uv) * obs.weight[:, None]
 
 
-def _per_obs_jacobians(cams, pts, obs, K, dist):
-    """Jc: (n_obs, 2, 7), Jp: (n_obs, 2, 3), r: (n_obs, 2) — all weighted."""
-    def resid_one(cam, pt, uv, w):
-        pred, _ = project_ned_quat(pt, cam[:3], cam[3:7], K, dist)
-        return (pred - uv) * w
+def _per_obs_jacobians_1d(cams, pts, obs, K, dist):
+    """Per-observation jacobians and residuals as LISTS of (n_obs,) arrays.
 
-    def jac_one(cam, pt, uv, w):
-        return jax.jacfwd(resid_one, argnums=(0, 1))(cam, pt, uv, w)
+    TPU memory layout is the design constraint here: any (n_obs, small)
+    or (n_obs, 7, 7) array tiles its trailing dims up to (8, 128), so the
+    innocent einsum temp (n,7,7) of a 4.06M-observation mission
+    materializes 15.5 GB on a 16 GB chip (measured OOM), and a vmapped
+    jacfwd's 10 live tangent chains add more. Keeping every n-sized array
+    strictly 1-D sidesteps the tiling entirely; the small dims (2 residual
+    rows × 10 parameters) unroll in Python. One JVP of the whole-batch
+    residual per parameter direction gives the exact jacobian with a
+    single forward chain live at a time.
 
+    Returns (Jc [2][7] of (n,), Jp [2][3] of (n,), r [2] of (n,))."""
     c = cams[obs.cam_idx]
     p = pts[obs.pt_idx]
-    Jc, Jp = jax.vmap(jac_one)(c, p, obs.uv, obs.weight)
-    r = jax.vmap(resid_one)(c, p, obs.uv, obs.weight)
+    uv, w = obs.uv, obs.weight
+
+    def F(cp):
+        c_, p_ = cp
+        pred, _ = project_ned_quat(p_, c_[:, :3], c_[:, 3:7], K, dist)
+        return (pred - uv) * w[:, None]
+
+    n = c.shape[0]
+    r2 = F((c, p))
+    r = [r2[:, 0], r2[:, 1]]
+    Jc = [[None] * 7 for _ in range(2)]
+    Jp = [[None] * 3 for _ in range(2)]
+    zc = jnp.zeros((n, 7), dtype=cams.dtype)
+    zp = jnp.zeros((n, 3), dtype=cams.dtype)
+    for k in range(10):
+        ec = zc if k >= 7 else zc.at[:, k].set(1.0)
+        ep = zp if k < 7 else zp.at[:, k - 7].set(1.0)
+        _, col = jax.jvp(F, ((c, p),), ((ec, ep),))
+        for i in range(2):
+            if k < 7:
+                Jc[i][k] = col[:, i]
+            else:
+                Jp[i][k - 7] = col[:, i]
     return Jc, Jp, r
 
 
@@ -121,40 +147,82 @@ def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
     """One damped Gauss–Newton step via Schur complement + PCG (unjitted —
     parallel/ re-jits this with observation shardings over a device mesh).
 
-    Returns (Δcams (n_cam,7), Δpts (n_pt,3), predicted_decrease).
+    Every n_obs- and n_pt-sized quantity is kept as 1-D (n,) arrays with
+    the small dimensions (2 residual rows, 7 camera / 3 point params)
+    unrolled in Python: TPU tiles the trailing two dims of an array up to
+    (8, 128), so per-obs (n,7,7) / per-point (n,3,3) temps inflate 20×
+    (15.5 GB measured for 4.06M observations). Camera-sized arrays
+    (n_cam ≤ thousands) stay dense. Returns (Δcams (n_cam,7),
+    Δpts (n_pt,3), predicted_decrease).
     """
-    Jc, Jp, r = _per_obs_jacobians(cams, pts, obs, K, dist)
-
-    # gradients and diagonal blocks
-    g_c = _seg(jnp.einsum("oij,oi->oj", Jc, r), obs.cam_idx, n_cam)      # (n_cam, 7)
-    g_p = _seg(jnp.einsum("oij,oi->oj", Jp, r), obs.pt_idx, n_pt)        # (n_pt, 3)
-    Hcc = _seg(jnp.einsum("oik,oil->okl", Jc, Jc), obs.cam_idx, n_cam)   # (n_cam, 7, 7)
-    Hpp = _seg(jnp.einsum("oik,oil->okl", Jp, Jp), obs.pt_idx, n_pt)     # (n_pt, 3, 3)
-
-    eye7 = jnp.eye(7, dtype=cams.dtype)
-    eye3 = jnp.eye(3, dtype=cams.dtype)
-    # Marquardt damping: λ·diag(H) with an absolute floor for unconstrained dirs
-    dc = jnp.einsum("cii->ci", Hcc)
-    dp = jnp.einsum("pii->pi", Hpp)
-    Hcc_d = Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7) + 1e-8 * eye7
-    Hpp_d = Hpp + lam * jnp.einsum("pi,ij->pij", dp, eye3) + 1e-8 * eye3
-    Hpp_inv = _inv3x3(Hpp_d)
-
+    Jc, Jp, r = _per_obs_jacobians_1d(cams, pts, obs, K, dist)
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
+    def segc(x):
+        return _seg(x, cam_idx, n_cam)
+
+    def segp(x):
+        return _seg(x, pt_idx, n_pt)
+
+    # gradients: g_c (n_cam, 7) dense; g_p as 3 × (n_pt,)
+    g_c = jnp.stack([segc(Jc[0][j] * r[0] + Jc[1][j] * r[1])
+                     for j in range(7)], axis=1)
+    g_p = [segp(Jp[0][k] * r[0] + Jp[1][k] * r[1]) for k in range(3)]
+
+    # camera blocks: (n_cam, 7, 7) dense is tiny
+    Hcc = jnp.stack(
+        [jnp.stack([segc(Jc[0][k] * Jc[0][l] + Jc[1][k] * Jc[1][l])
+                    for l in range(7)], axis=1) for k in range(7)], axis=1)
+    eye7 = jnp.eye(7, dtype=cams.dtype)
+    dc = jnp.einsum("cii->ci", Hcc)
+    Hcc_d = Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7) + 1e-8 * eye7
+
+    # point blocks: symmetric 3×3 per point as 6 × (n_pt,) + damping
+    hpp = {}
+    for k in range(3):
+        for l in range(k, 3):
+            hpp[(k, l)] = segp(Jp[0][k] * Jp[0][l] + Jp[1][k] * Jp[1][l])
+    a = hpp[(0, 0)] + lam * hpp[(0, 0)] + 1e-8
+    d = hpp[(1, 1)] + lam * hpp[(1, 1)] + 1e-8
+    f = hpp[(2, 2)] + lam * hpp[(2, 2)] + 1e-8
+    b3, c3, e3 = hpp[(0, 1)], hpp[(0, 2)], hpp[(1, 2)]
+    # closed-form symmetric 3×3 inverse (cofactors / det), all (n_pt,)
+    A_ = d * f - e3 * e3
+    B_ = c3 * e3 - b3 * f
+    C_ = b3 * e3 - c3 * d
+    det = a * A_ + b3 * B_ + c3 * C_
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    i00 = A_ / det
+    i01 = B_ / det
+    i02 = C_ / det
+    i11 = (a * f - c3 * c3) / det
+    i12 = (b3 * c3 - a * e3) / det
+    i22 = (a * d - b3 * b3) / det
+    Hpp_inv = [[i00, i01, i02], [i01, i11, i12], [i02, i12, i22]]
+
+    def hpp_solve(w):
+        """Hpp⁻¹ · w for w = [3 × (n_pt,)]."""
+        return [Hpp_inv[k][0] * w[0] + Hpp_inv[k][1] * w[1]
+                + Hpp_inv[k][2] * w[2] for k in range(3)]
+
     def schur_matvec(v):
-        u = jnp.einsum("oij,oj->oi", Jc, v[cam_idx])                # Jc v
-        w = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)     # Jpᵀ Jc v
-        y = jnp.einsum("pij,pj->pi", Hpp_inv, w)                    # Hpp⁻¹ ·
-        z = jnp.einsum("oij,oj->oi", Jp, y[pt_idx])                 # Jp ·
-        corr = _seg(jnp.einsum("oij,oi->oj", Jc, z), cam_idx, n_cam)
+        vg = [v[:, j][cam_idx] for j in range(7)]
+        u = [sum(Jc[i][j] * vg[j] for j in range(7)) for i in range(2)]
+        w = [segp(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+        y = hpp_solve(w)
+        yg = [y[k][pt_idx] for k in range(3)]
+        z = [sum(Jp[i][k] * yg[k] for k in range(3)) for i in range(2)]
+        corr = jnp.stack([segc(Jc[0][j] * z[0] + Jc[1][j] * z[1])
+                          for j in range(7)], axis=1)
         direct = jnp.einsum("cij,cj->ci", Hcc_d, v)
         return direct - corr
 
     # rhs: b = −(g_c − H_cp Hpp⁻¹ g_p)
-    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-    z0 = jnp.einsum("oij,oj->oi", Jp, y0[pt_idx])
-    b = -(g_c - _seg(jnp.einsum("oij,oi->oj", Jc, z0), cam_idx, n_cam))
+    y0 = hpp_solve(g_p)
+    y0g = [y0[k][pt_idx] for k in range(3)]
+    z0 = [sum(Jp[i][k] * y0g[k] for k in range(3)) for i in range(2)]
+    b = -(g_c - jnp.stack([segc(Jc[0][j] * z0[0] + Jc[1][j] * z0[1])
+                           for j in range(7)], axis=1))
 
     # block-Jacobi preconditioner from the damped camera blocks
     Pc = jnp.linalg.inv(Hcc_d + 1e-6 * eye7)
@@ -191,12 +259,16 @@ def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
     dc_cam, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x0, r0, p0, rz0, 0))
 
     # back-substitute points: Δp = Hpp⁻¹ (−g_p − H_pc Δc)
-    u = jnp.einsum("oij,oj->oi", Jc, dc_cam[cam_idx])
-    hpc_dc = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
-    dp_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - hpc_dc)
+    dg = [dc_cam[:, j][cam_idx] for j in range(7)]
+    u = [sum(Jc[i][j] * dg[j] for j in range(7)) for i in range(2)]
+    hpc_dc = [segp(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+    rhs_p = [-g_p[k] - hpc_dc[k] for k in range(3)]
+    dp_cols = hpp_solve(rhs_p)
+    dp_pts = jnp.stack(dp_cols, axis=1)
 
     # predicted decrease for LM gain ratio: −(gᵀΔ + ½ΔᵀHΔ) ≈ ½ Δᵀ(λDΔ − g)
-    pred_dec = 0.5 * (dot(dc_cam, -g_c) + dot(dp_pts, -g_p))
+    pred_dec = 0.5 * (dot(dc_cam, -g_c)
+                      + sum(jnp.sum(dp_cols[k] * -g_p[k]) for k in range(3)))
     return dc_cam, dp_pts, pred_dec
 
 

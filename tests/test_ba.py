@@ -65,8 +65,13 @@ def test_ba_converges(rng):
                        bundle.BAConfig(max_iters=30, ftol=1e-5), verbose=False)
     assert res.mre < 0.5          # down to the injected pixel noise
     assert res.mre < float(mre0) / 5
-    # structure recovered: points near truth after convergence
-    err = np.linalg.norm(res.pts - pts_true, axis=1)
+    # structure recovered up to gauge: BA leaves a small similarity gauge
+    # freedom (different but equally converged solvers settle ~0.1 m apart
+    # before alignment), so align to truth before measuring
+    from imageanalysis_tpu.core.transforms import umeyama
+    s, R, t = umeyama(jnp.asarray(res.pts), jnp.asarray(pts_true))
+    aligned = float(s) * res.pts @ np.asarray(R).T + np.asarray(t)
+    err = np.linalg.norm(aligned - pts_true, axis=1)
     assert np.median(err) < 1.0
 
 
