@@ -120,24 +120,6 @@ def _per_obs_jacobians_1d(cams, pts, obs, K, dist):
     return Jc, Jp, r
 
 
-def _inv3x3(M):
-    """Batched closed-form 3×3 inverse (adjugate / det)."""
-    a = M[..., 0, 0]; b = M[..., 0, 1]; c = M[..., 0, 2]
-    d = M[..., 1, 0]; e = M[..., 1, 1]; f = M[..., 1, 2]
-    g = M[..., 2, 0]; h = M[..., 2, 1]; i = M[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-    adj = jnp.stack([
-        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
-        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
-        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
-    ], axis=-2)
-    return adj / det[..., None, None]
-
-
 def _seg(x, idx, num):
     return jax.ops.segment_sum(x, idx, num_segments=num)
 
@@ -289,20 +271,41 @@ def _calib_K_dist(calib):
     return K, calib[3:8]
 
 
-def _per_obs_jacobians_calib(cams, pts, obs, calib):
-    def resid_one(cam, pt, uv, w, c):
-        K, dist = _calib_K_dist(c)
-        pred, _ = project_ned_quat(pt, cam[:3], cam[3:7], K, dist)
-        return (pred - uv) * w
-
-    def jac_one(cam, pt, uv, w):
-        return jax.jacfwd(resid_one, argnums=(0, 1, 4))(cam, pt, uv, w, calib)
-
+def _per_obs_jacobians_calib_1d(cams, pts, obs, calib):
+    """1-D form of the calib jacobians (see _per_obs_jacobians_1d for the
+    TPU tiling rationale): Jc [2][7], Jp [2][3], Jk [2][8], r [2] of (n,).
+    One whole-batch JVP per parameter direction (18 total)."""
     c = cams[obs.cam_idx]
     p = pts[obs.pt_idx]
-    Jc, Jp, Jk = jax.vmap(jac_one)(c, p, obs.uv, obs.weight)
-    r = jax.vmap(lambda a, b, u, w: resid_one(a, b, u, w, calib))(
-        c, p, obs.uv, obs.weight)
+    uv, w = obs.uv, obs.weight
+
+    def F(args):
+        c_, p_, cal_ = args
+        K, dist = _calib_K_dist(cal_)
+        pred, _ = project_ned_quat(p_, c_[:, :3], c_[:, 3:7], K, dist)
+        return (pred - uv) * w[:, None]
+
+    n = c.shape[0]
+    r2 = F((c, p, calib))
+    r = [r2[:, 0], r2[:, 1]]
+    Jc = [[None] * 7 for _ in range(2)]
+    Jp = [[None] * 3 for _ in range(2)]
+    Jk = [[None] * 8 for _ in range(2)]
+    zc = jnp.zeros((n, 7), dtype=cams.dtype)
+    zp = jnp.zeros((n, 3), dtype=cams.dtype)
+    zk = jnp.zeros((8,), dtype=cams.dtype)
+    for k in range(18):
+        ec = zc if not k < 7 else zc.at[:, k].set(1.0)
+        ep = zp if not 7 <= k < 10 else zp.at[:, k - 7].set(1.0)
+        ek = zk if not k >= 10 else zk.at[k - 10].set(1.0)
+        _, col = jax.jvp(F, ((c, p, calib),), ((ec, ep, ek),))
+        for i in range(2):
+            if k < 7:
+                Jc[i][k] = col[:, i]
+            elif k < 10:
+                Jp[i][k - 7] = col[:, i]
+            else:
+                Jk[i][k - 10] = col[:, i]
     return Jc, Jp, Jk, r
 
 
@@ -314,15 +317,26 @@ def lm_step_calib_impl(cams, pts, calib, obs, lam, gps_ned, gps_w, n_cam,
     without it the global focal length trades freely against camera heights
     inside the box bounds (f·h gauge). gps_w=0 disables.
     """
-    Jc, Jp, Jk, r = _per_obs_jacobians_calib(cams, pts, obs, calib)
+    Jc, Jp, Jk, r = _per_obs_jacobians_calib_1d(cams, pts, obs, calib)
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
-    g_c = _seg(jnp.einsum("oij,oi->oj", Jc, r), cam_idx, n_cam)
-    g_p = _seg(jnp.einsum("oij,oi->oj", Jp, r), pt_idx, n_pt)
-    g_k = jnp.einsum("oij,oi->j", Jk, r)
-    Hcc = _seg(jnp.einsum("oik,oil->okl", Jc, Jc), cam_idx, n_cam)
-    Hpp = _seg(jnp.einsum("oik,oil->okl", Jp, Jp), pt_idx, n_pt)
-    Hkk = jnp.einsum("oik,oil->kl", Jk, Jk)
+    def segc(x):
+        return _seg(x, cam_idx, n_cam)
+
+    def segp1(x):
+        return _seg(x, pt_idx, n_pt)
+
+    g_c = jnp.stack([segc(Jc[0][j] * r[0] + Jc[1][j] * r[1])
+                     for j in range(7)], axis=1)
+    g_p = [segp1(Jp[0][k] * r[0] + Jp[1][k] * r[1]) for k in range(3)]
+    g_k = jnp.stack([jnp.sum(Jk[0][j] * r[0] + Jk[1][j] * r[1])
+                     for j in range(8)])
+    Hcc = jnp.stack(
+        [jnp.stack([segc(Jc[0][k] * Jc[0][l] + Jc[1][k] * Jc[1][l])
+                    for l in range(7)], axis=1) for k in range(7)], axis=1)
+    Hkk = jnp.stack(
+        [jnp.stack([jnp.sum(Jk[0][k] * Jk[0][l] + Jk[1][k] * Jk[1][l])
+                    for l in range(8)]) for k in range(8)])
 
     # GPS prior contributes gps_w·(ned − gps) to the gradient and gps_w·I to
     # the position block of H_cc
@@ -330,32 +344,60 @@ def lm_step_calib_impl(cams, pts, calib, obs, lam, gps_ned, gps_w, n_cam,
     Hcc = Hcc.at[:, 0, 0].add(gps_w).at[:, 1, 1].add(gps_w).at[:, 2, 2].add(gps_w)
 
     eye7 = jnp.eye(7, dtype=cams.dtype)
-    eye3 = jnp.eye(3, dtype=cams.dtype)
     eye8 = jnp.eye(8, dtype=cams.dtype)
     dc = jnp.einsum("cii->ci", Hcc)
-    dp = jnp.einsum("pii->pi", Hpp)
     dk = jnp.diag(Hkk)
-    Hpp_d = Hpp + lam * jnp.einsum("pi,ij->pij", dp, eye3) + 1e-8 * eye3
-    Hpp_inv = _inv3x3(Hpp_d)
+
+    # damped symmetric 3×3 point blocks + closed-form inverse, all (n_pt,)
+    hpp = {}
+    for k in range(3):
+        for l in range(k, 3):
+            hpp[(k, l)] = segp1(Jp[0][k] * Jp[0][l] + Jp[1][k] * Jp[1][l])
+    a = hpp[(0, 0)] * (1.0 + lam) + 1e-8
+    d = hpp[(1, 1)] * (1.0 + lam) + 1e-8
+    f = hpp[(2, 2)] * (1.0 + lam) + 1e-8
+    b3, c3, e3 = hpp[(0, 1)], hpp[(0, 2)], hpp[(1, 2)]
+    A_ = d * f - e3 * e3
+    B_ = c3 * e3 - b3 * f
+    C_ = b3 * e3 - c3 * d
+    det = a * A_ + b3 * B_ + c3 * C_
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    Hpp_inv = [[A_ / det, B_ / det, C_ / det],
+               [B_ / det, (a * f - c3 * c3) / det, (b3 * c3 - a * e3) / det],
+               [C_ / det, (b3 * c3 - a * e3) / det, (a * d - b3 * b3) / det]]
+
+    def hpp_solve(w):
+        return [Hpp_inv[k][0] * w[0] + Hpp_inv[k][1] * w[1]
+                + Hpp_inv[k][2] * w[2] for k in range(3)]
+
+    def _obs_apply(v_c, v_k):
+        """u_i = (Jc v_c + Jk v_k)_i as 2 × (n,)."""
+        vg = [v_c[:, j][cam_idx] for j in range(7)]
+        return [sum(Jc[i][j] * vg[j] for j in range(7))
+                + sum(Jk[i][j] * v_k[j] for j in range(8)) for i in range(2)]
 
     def matvec(v):
         v_c, v_k = v
-        u = jnp.einsum("oij,oj->oi", Jc, v_c[cam_idx]) \
-            + jnp.einsum("oij,j->oi", Jk, v_k)
-        w = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
-        y = jnp.einsum("pij,pj->pi", Hpp_inv, w)
-        z = jnp.einsum("oij,oj->oi", Jp, y[pt_idx])
-        uz = u - z
-        out_c = _seg(jnp.einsum("oij,oi->oj", Jc, uz), cam_idx, n_cam) \
+        u = _obs_apply(v_c, v_k)
+        w = [segp1(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+        y = hpp_solve(w)
+        yg = [y[k][pt_idx] for k in range(3)]
+        uz = [u[i] - sum(Jp[i][k] * yg[k] for k in range(3)) for i in range(2)]
+        out_c = jnp.stack([segc(Jc[0][j] * uz[0] + Jc[1][j] * uz[1])
+                           for j in range(7)], axis=1) \
             + lam * dc * v_c + 1e-8 * v_c
         out_c = out_c.at[:, :3].add(gps_w * v_c[:, :3])
-        out_k = jnp.einsum("oij,oi->j", Jk, uz) + lam * dk * v_k + 1e-8 * v_k
+        out_k = jnp.stack([jnp.sum(Jk[0][j] * uz[0] + Jk[1][j] * uz[1])
+                           for j in range(8)]) + lam * dk * v_k + 1e-8 * v_k
         return out_c, out_k
 
-    y0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-    z0 = jnp.einsum("oij,oj->oi", Jp, y0[pt_idx])
-    b_c = -(g_c - _seg(jnp.einsum("oij,oi->oj", Jc, z0), cam_idx, n_cam))
-    b_k = -(g_k - jnp.einsum("oij,oi->j", Jk, z0))
+    y0 = hpp_solve(g_p)
+    y0g = [y0[k][pt_idx] for k in range(3)]
+    z0 = [sum(Jp[i][k] * y0g[k] for k in range(3)) for i in range(2)]
+    b_c = -(g_c - jnp.stack([segc(Jc[0][j] * z0[0] + Jc[1][j] * z0[1])
+                             for j in range(7)], axis=1))
+    b_k = -(g_k - jnp.stack([jnp.sum(Jk[0][j] * z0[0] + Jk[1][j] * z0[1])
+                             for j in range(8)]))
 
     Pc = jnp.linalg.inv(Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7)
                         + 1e-6 * eye7)
@@ -395,10 +437,10 @@ def lm_step_calib_impl(cams, pts, calib, obs, lam, gps_ned, gps_w, n_cam,
     (dc_cam, dk_cal), _, _, _, _ = jax.lax.while_loop(
         cg_cond, cg_body, (x0, r0, z0c, rz0, 0))
 
-    u = jnp.einsum("oij,oj->oi", Jc, dc_cam[cam_idx]) \
-        + jnp.einsum("oij,j->oi", Jk, dk_cal)
-    hpc = _seg(jnp.einsum("oij,oi->oj", Jp, u), pt_idx, n_pt)
-    dp_pts = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - hpc)
+    u = _obs_apply(dc_cam, dk_cal)
+    hpc = [segp1(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+    dp_pts = jnp.stack(hpp_solve([-g_p[k] - hpc[k] for k in range(3)]),
+                       axis=1)
     return dc_cam, dp_pts, dk_cal
 
 
