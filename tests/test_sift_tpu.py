@@ -122,3 +122,17 @@ def test_cv2_parity_real_image():
     err = np.linalg.norm(ph[:, :2] / ph[:, 2:3] - uv2, axis=1)
     frac = (err < 3.0).mean()
     assert frac > 0.9, f"cross-engine inlier fraction {frac:.2f}"
+
+
+def test_dispatch_finalize_matches_sync(image_pair):
+    """The double-buffered dispatch/finalize path must produce exactly the
+    sync detect_and_compute results (same graph, deferred download)."""
+    from imageanalysis_tpu.features import sift_tpu
+
+    img, _, _ = image_pair
+    kp_s, meta_s, desc_s = sift_tpu.detect_and_compute(img, max_features=512)
+    outs = sift_tpu.detect_dispatch(img, max_features=512)
+    kp_a, meta_a, desc_a = sift_tpu.detect_finalize(outs)
+    np.testing.assert_array_equal(kp_s, kp_a)
+    np.testing.assert_array_equal(meta_s, meta_a)
+    np.testing.assert_array_equal(desc_s, desc_a)
