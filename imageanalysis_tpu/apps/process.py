@@ -325,16 +325,31 @@ def _run(args) -> int:
             proj.state.update("STEP4")
         if multi:
             multihost.barrier("step4")
+            if not rank0:
+                # pick up rank 0's optimized poses for the render stage
+                proj.load_images_info()
 
     # ---- Step 5: render (process.py:411-420) ----------------------------
-    if not rank0:
-        pass
-    elif not proj.state.check("STEP5"):
-        log("Step 5: building surface/render outputs")
+    if not proj.state.check("STEP5"):
+        if rank0:
+            log("Step 5: building surface/render outputs")
         from ..render import build_map
         grps = groups_mod.load(proj.analysis_dir)
         matches = proj.load_matches_grouped()
-        build_map.build(proj, matches, grps, group_index=args.group)
+        if multi:
+            # per-image eggs/textures shard across ranks (disjoint files);
+            # rank 0 also writes surface.bin + the AC3D models
+            group = (grps[args.group] if grps
+                     else [im.name for im in proj.image_list])
+            mine = multihost.process_shard(sorted(group))
+            build_map.build(proj, matches, grps, group_index=args.group,
+                            only_images=mine, global_outputs=rank0)
+            multihost.barrier("step5_render")
+        else:
+            build_map.build(proj, matches, grps, group_index=args.group)
+    if not rank0:
+        pass
+    elif not proj.state.check("STEP5"):
         if args.histogram:
             from ..render.texture import build_histograms
             build_histograms(proj)

@@ -131,7 +131,11 @@ def write_egg(path, grid_xyz, distorted_uv, width, height, steps):
 
 
 def build(proj, matches, groups, group_index=0, ground=None,
-          grid_steps=GRID_STEPS, texture_resolution=TEXTURE_RES):
+          grid_steps=GRID_STEPS, texture_resolution=TEXTURE_RES,
+          only_images=None, global_outputs=True):
+    """only_images / global_outputs support multi-host rendering: each rank
+    writes the per-image eggs/textures of its image shard (disjoint files on
+    the shared FS) and only rank 0 emits surface.bin / AC3D outputs."""
     import jax.numpy as jnp
     import scipy.interpolate
     import scipy.spatial
@@ -159,9 +163,10 @@ def build(proj, matches, groups, group_index=0, ground=None,
     raw_points = pts[keep][:, [1, 0]]          # [e, n]
     raw_values = pts[keep][:, 2]               # down
     os.makedirs(proj.models_dir, exist_ok=True)
-    with open(os.path.join(proj.models_dir, "surface.bin"), "wb") as f:
-        pickle.dump({"points": raw_points.tolist(),
-                     "values": raw_values.tolist()}, f)
+    if global_outputs:
+        with open(os.path.join(proj.models_dir, "surface.bin"), "wb") as f:
+            pickle.dump({"points": raw_points.tolist(),
+                         "values": raw_values.tolist()}, f)
 
     tri = scipy.spatial.Delaunay(raw_points)
     interp = scipy.interpolate.LinearNDInterpolator(tri, raw_values)
@@ -176,6 +181,11 @@ def build(proj, matches, groups, group_index=0, ground=None,
     grid_uv = np.stack([UU.ravel(), VV.ravel()], axis=1).astype(np.float32)
 
     group_images = [im for im in proj.image_list if im.name in group_set]
+    write_set = (group_set if only_images is None
+                 else group_set & set(only_images))
+    if not global_outputs:
+        # per-image writes only: skip the grid math for other ranks' images
+        group_images = [im for im in group_images if im.name in write_set]
     made = []
     grids = {}
     dist_uvs = {}
@@ -191,22 +201,27 @@ def build(proj, matches, groups, group_index=0, ground=None,
                                               model.dist))
         grid_xyz = np.stack([pts_ned[:, 1], pts_ned[:, 0], -pts_ned[:, 2]],
                             axis=1)           # [e, n, up]
-        egg_path = os.path.join(proj.models_dir, image.name + ".egg")
-        count = write_egg(egg_path, grid_xyz, dist_uv, width, height, grid_steps)
         grids[image.name] = grid_xyz
         dist_uvs[image.name] = dist_uv
+        if image.name not in write_set:
+            continue
+        egg_path = os.path.join(proj.models_dir, image.name + ".egg")
+        count = write_egg(egg_path, grid_xyz, dist_uv, width, height, grid_steps)
         if count:
             made.append(image.name)
         else:
             log("Warning: no polygons fully on surface:", image.name)
 
-    make_textures(proj, group_images, resolution=texture_resolution)
+    make_textures(proj, [im for im in group_images if im.name in write_set],
+                  resolution=texture_resolution)
 
-    # AC3D outputs (reference 5b-delaunay5.py surface + ac3d.py model)
-    from . import ac3d
-    ac3d.write_surface_ac(os.path.join(proj.models_dir, "surface-global.ac"),
-                          raw_points, raw_values)
-    ac3d.generate_textured(proj, [im.name for im in group_images], grids,
-                           dist_uvs)
+    if global_outputs:
+        # AC3D outputs (reference 5b-delaunay5.py surface + ac3d.py model)
+        from . import ac3d
+        ac3d.write_surface_ac(os.path.join(proj.models_dir,
+                                           "surface-global.ac"),
+                              raw_points, raw_values)
+        ac3d.generate_textured(proj, [im.name for im in group_images], grids,
+                               dist_uvs)
     log(f"build_map: wrote {len(made)} egg models + textures to {proj.models_dir}")
     return made

@@ -168,6 +168,10 @@ def test_two_process_full_pipeline(tmp_path):
                       for im in proj.image_list])
     err = np.linalg.norm(est - true_ned[: len(est)], axis=1)
     assert err.mean() < 1.0, err
-    # render outputs from rank 0
+    # render outputs: surface from rank 0, per-image eggs from BOTH ranks'
+    # shards (the per-image renders split across processes)
     models = os.path.join(proj_dir, "ImageAnalysis", "models")
     assert os.path.isfile(os.path.join(models, "surface.bin"))
+    eggs = {f for f in os.listdir(models) if f.endswith(".egg")}
+    expected = {im.name + ".egg" for im in proj.image_list}
+    assert eggs >= expected, (eggs, expected)
