@@ -112,6 +112,9 @@ def main(argv=None):
     orig_tri = wrap(cleanup_mod, "triangulate_ground", "triangulate")
     orig_groups = wrap(groups_mod, "compute", "groups")
     orig_render = wrap(build_map_mod, "build", "render")
+    from imageanalysis_tpu.match import smart as smart_mod
+    orig_requalify = wrap(smart_mod, "requalify_pairs", "requalify")
+    orig_minit = wrap(matcher_mod.BatchMatcher, "__init__", "matcher_init")
 
     ba_stats = {}
     orig_ba = bundle_mod.solve
@@ -144,6 +147,8 @@ def main(argv=None):
     cleanup_mod.triangulate_ground = orig_tri
     groups_mod.compute = orig_groups
     build_map_mod.build = orig_render
+    smart_mod.requalify_pairs = orig_requalify
+    matcher_mod.BatchMatcher.__init__ = orig_minit
     assert rc == 0, "pipeline failed"
 
     # --- accuracy vs ground truth ----------------------------------------
@@ -209,6 +214,8 @@ def main(argv=None):
         "triangulate_s": round(times.get("triangulate", float("nan")), 1),
         "groups_s": round(times.get("groups", float("nan")), 1),
         "render_s": round(times.get("render", float("nan")), 1),
+        "requalify_s": round(times.get("requalify", float("nan")), 1),
+        "matcher_init_s": round(times.get("matcher_init", float("nan")), 1),
         "cam_pos_err_mean_m": round(float(err.mean()), 3),
         "cam_pos_err_max_m": round(float(err.max()), 3),
         "extrapolated_2812img_1chip_s": round(est_2812_1chip, 0),

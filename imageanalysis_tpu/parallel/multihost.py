@@ -11,6 +11,13 @@ pipeline command works on 1 host or N:
     JAX_COORDINATOR=host0:1234 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=2 \
         python -m imageanalysis_tpu.apps.stages optimize <dir> --mesh all
 
+The same mechanism scales a SINGLE v5e-8 host across all its chips: launch
+8 processes pinned to one chip each (TPU_VISIBLE_DEVICES=<i> or the
+runtime's chips-per-process setting) with JAX_NUM_PROCESSES=8 and a
+localhost coordinator — detection, matching and rendering shard by
+process, and the BA psum rides ICI. Validated end-to-end by
+tests/test_multihost.py (2 processes, virtual devices, Gloo).
+
 Design note (scaling-book recipe): the pipeline's parallelism is pure
 data parallelism — pairs for matching, observations for BA — so the only
 cross-host collective is the BA reduction; everything else is embarrassingly
