@@ -249,8 +249,10 @@ class BatchMatcher:
         cfg = self.config
         images = self.proj.image_list
         # store batches cost no host assembly, so go wide: fewer dispatches
-        # matter more than per-batch memory (64 × npad × 128 bf16 ≈ 16 MB)
-        B = max(cfg.batch_size, 64)
+        # matter more than per-batch memory (256 × npad × 128 uint8 gathers
+        # ≈ 150 MB). Hardware-measured on the 2812 mission: 789 pairs/s at
+        # B=64 → 1041 at 128 → 1426 at 256 (one-time ~40 s compile, cached)
+        B = max(cfg.batch_size, 256)
         it = range(0, len(pairs), B)
         if progress:
             try:
