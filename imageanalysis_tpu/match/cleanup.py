@@ -212,11 +212,15 @@ def triangulate_ground(proj, matches, get_base_elev=None):
     pts = intersect_ground_plane(jnp.asarray(cam_ned)[obs_img], elev_rel, vecs)
     pts = np.asarray(pts)
 
-    sums = np.zeros((len(matches), 3), np.float64)
-    counts = np.zeros(len(matches), np.int64)
-    np.add.at(sums, obs_match, pts)
-    np.add.at(counts, obs_match, 1)
+    # per-chain means via bincount (np.add.at is ~10× slower at 4M obs)
+    n_m = len(matches)
+    counts = np.bincount(obs_match, minlength=n_m)
+    denom = np.maximum(counts, 1)
+    means = np.stack([np.bincount(obs_match, weights=pts[:, k].astype(
+        np.float64), minlength=n_m) / denom for k in range(3)], axis=1)
+    means_l = means.tolist()
+    counts_l = counts.tolist()
     for mi, match in enumerate(matches):
-        if counts[mi]:
-            match[0] = (sums[mi] / counts[mi]).tolist()
+        if counts_l[mi]:
+            match[0] = means_l[mi]
     return matches
