@@ -76,8 +76,8 @@ def main(argv=None):
     if regenerate:
         m.generate()
     else:
-        # rebuild pose bookkeeping without re-rendering
-        m.generate()
+        # rebuild pose bookkeeping, reusing already-rendered images
+        m.generate(skip_existing=True)
     gen_s = time.perf_counter() - t0
 
     db_dir = os.path.join(proj_dir, os.pardir, "cameras")

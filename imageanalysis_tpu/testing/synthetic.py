@@ -117,7 +117,10 @@ class SyntheticMission:
         self.world_tiles = world_tiles
         self.poses = []  # (name, ned, aircraft ypr_deg)
 
-    def generate(self):
+    def generate(self, skip_existing=False):
+        """skip_existing: reuse already-rendered image files (the poses are
+        deterministic from the seed, so bookkeeping still rebuilds exactly);
+        lets mission-scale benches rerun without the ~13 min re-render."""
         import cv2
 
         os.makedirs(self.project_dir, exist_ok=True)
@@ -153,7 +156,10 @@ class SyntheticMission:
             # aircraft level, camera mounted pitch -90 (nadir)
             ac_ypr = (yaw, 0.0, 0.0)
             name = f"IMG_{i:04d}.jpg"
-            if world is not None:
+            if skip_existing and os.path.isfile(
+                    os.path.join(self.project_dir, name)):
+                pass
+            elif world is not None:
                 # footprint with margin at this altitude/attitude
                 half = (max(self.w, self.h) / self.fx) * self.alt * 0.8 + 30
                 tex_i, S_i = world.patch(ned[0] - half, ned[1] - half,
