@@ -139,6 +139,32 @@ def redistort_pixels(uv, K, dist):
     return normalized_to_pixels(distort_normalized(pixels_to_normalized(uv, K), dist), K)
 
 
+def undistort_pixels_flat(u, v, K, dist, iters=10):
+    """undistort_pixels on SEPARATE 1-D u/v arrays → (u', v').
+
+    Bulk path for whole-mission keypoint undistortion: TPU tiles the
+    trailing dims of (..., 2) arrays to (8, 128), and the (B, npad, 2)
+    formulation's compile ran ~8 min through the remote-compile tunnel;
+    plain 1-D arrays compile in seconds and tile perfectly."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+
+    def body(_, xy):
+        x, y = xy
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        radial = 1.0 + k1 * r2 + k2 * r4 + k3 * r4 * r2
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        return (xd - dx) / radial, (yd - dy) / radial
+
+    x, y = jax.lax.fori_loop(0, iters, body, (xd, yd))
+    return x * fx + cx, y * fy + cy
+
+
 # ---------------------------------------------------------------------------
 # Pose plumbing
 # ---------------------------------------------------------------------------

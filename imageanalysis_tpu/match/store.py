@@ -45,6 +45,10 @@ class DescriptorStore:
                 d = im.des.shape[1]
                 break
 
+        # one batched device call for every image's kp undistortion —
+        # per-image calls cost a dispatch round trip each
+        proj.undistort_all_keypoints(images)
+
         desc = np.zeros((n_img, npad, d),
                         np.uint8 if dtype == "uint8" else np.float32)
         if dtype == "uint8":
