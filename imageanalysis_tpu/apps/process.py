@@ -176,7 +176,15 @@ def _run(args) -> int:
     from ..match import cleanup, groups as groups_mod
     from ..match.matcher import MatchConfig, find_matches
 
-    if not proj.state.check("STEP3a"):
+    # multi-rank stage gates: rank 0 evaluates the STEP marker once and
+    # broadcasts, so every rank takes the same branch (independent FS reads
+    # can disagree under NFS attribute-cache lag → mismatched barrier
+    # sequences → hang)
+    def gate(step):
+        done = proj.state.check(step)
+        return multihost.agree(done, step) if multi else done
+
+    if not gate("STEP3a"):
         log("Step 3a: feature detection + pair matching")
         det_cfg = DetectorConfig(
             detector="SIFT" if args.detector == "TPU" else args.detector,
@@ -273,7 +281,7 @@ def _run(args) -> int:
         multihost.barrier("steps3bcd")
 
     # ---- Step 4: bundle adjustment (process.py:366-407) -----------------
-    if not proj.state.check("STEP4"):
+    if not gate("STEP4"):
         log("Step 4: sparse bundle adjustment")
         from ..ba import bundle, setup as ba_setup
 
@@ -330,7 +338,8 @@ def _run(args) -> int:
                 proj.load_images_info()
 
     # ---- Step 5: render (process.py:411-420) ----------------------------
-    if not proj.state.check("STEP5"):
+    step5_todo = not gate("STEP5")
+    if step5_todo:
         if rank0:
             log("Step 5: building surface/render outputs")
         from ..render import build_map
@@ -349,7 +358,7 @@ def _run(args) -> int:
             build_map.build(proj, matches, grps, group_index=args.group)
     if not rank0:
         pass
-    elif not proj.state.check("STEP5"):
+    elif step5_todo:
         if args.histogram:
             from ..render.texture import build_histograms
             build_histograms(proj)

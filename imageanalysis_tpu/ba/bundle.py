@@ -124,19 +124,16 @@ def _seg(x, idx, num):
     return jax.ops.segment_sum(x, idx, num_segments=num)
 
 
-def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
-                 cg_tol=1e-3):
-    """One damped Gauss–Newton step via Schur complement + PCG (unjitted —
-    parallel/ re-jits this with observation shardings over a device mesh).
+def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt):
+    """The λ-independent half of the LM step: per-observation jacobians,
+    gradients, and undamped normal-equation blocks. Computed ONCE per outer
+    LM iteration and reused across λ retries by lm_solve — the 10
+    whole-batch JVPs are the dominant BA cost at mission scale (4M obs),
+    and they don't depend on the damping.
 
-    Every n_obs- and n_pt-sized quantity is kept as 1-D (n,) arrays with
-    the small dimensions (2 residual rows, 7 camera / 3 point params)
-    unrolled in Python: TPU tiles the trailing two dims of an array up to
-    (8, 128), so per-obs (n,7,7) / per-point (n,3,3) temps inflate 20×
-    (15.5 GB measured for 4.06M observations). Camera-sized arrays
-    (n_cam ≤ thousands) stay dense. Returns (Δcams (n_cam,7),
-    Δpts (n_pt,3), predicted_decrease).
-    """
+    Returns a pytree of (Jc 2×7, Jp 2×3, r 2 of (n,); g_c (n_cam,7);
+    g_p 3 of (n_pt,); Hcc (n_cam,7,7); hpp 6 of (n_pt,) upper-triangular
+    order (00,01,02,11,12,22))."""
     Jc, Jp, r = _per_obs_jacobians_1d(cams, pts, obs, K, dist)
     cam_idx, pt_idx = obs.cam_idx, obs.pt_idx
 
@@ -149,21 +146,49 @@ def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
     # gradients: g_c (n_cam, 7) dense; g_p as 3 × (n_pt,)
     g_c = jnp.stack([segc(Jc[0][j] * r[0] + Jc[1][j] * r[1])
                      for j in range(7)], axis=1)
-    g_p = [segp(Jp[0][k] * r[0] + Jp[1][k] * r[1]) for k in range(3)]
+    g_p = tuple(segp(Jp[0][k] * r[0] + Jp[1][k] * r[1]) for k in range(3))
 
     # camera blocks: (n_cam, 7, 7) dense is tiny
     Hcc = jnp.stack(
         [jnp.stack([segc(Jc[0][k] * Jc[0][l] + Jc[1][k] * Jc[1][l])
                     for l in range(7)], axis=1) for k in range(7)], axis=1)
-    eye7 = jnp.eye(7, dtype=cams.dtype)
+
+    # point blocks: symmetric 3×3 per point as 6 × (n_pt,), undamped
+    hpp = tuple(segp(Jp[0][k] * Jp[0][l] + Jp[1][k] * Jp[1][l])
+                for k in range(3) for l in range(k, 3))
+    return (tuple(tuple(row) for row in Jc), tuple(tuple(row) for row in Jp),
+            tuple(r), g_c, g_p, Hcc, hpp)
+
+
+def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3):
+    """The per-λ half of the LM step: damp the precomputed blocks, solve the
+    camera-reduced (Schur) system with PCG, back-substitute points.
+
+    Every n_obs- and n_pt-sized quantity is kept as 1-D (n,) arrays with
+    the small dimensions (2 residual rows, 7 camera / 3 point params)
+    unrolled in Python: TPU tiles the trailing two dims of an array up to
+    (8, 128), so per-obs (n,7,7) / per-point (n,3,3) temps inflate 20×
+    (15.5 GB measured for 4.06M observations). Camera-sized arrays
+    (n_cam ≤ thousands) stay dense. Returns (Δcams (n_cam,7),
+    Δpts (n_pt,3), predicted_decrease).
+    """
+    Jc, Jp, r, g_c, g_p, Hcc, hpp6 = jac
+    n_cam = g_c.shape[0]
+    n_pt = g_p[0].shape[0]
+
+    def segc(x):
+        return _seg(x, cam_idx, n_cam)
+
+    def segp(x):
+        return _seg(x, pt_idx, n_pt)
+
+    eye7 = jnp.eye(7, dtype=g_c.dtype)
     dc = jnp.einsum("cii->ci", Hcc)
     Hcc_d = Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7) + 1e-8 * eye7
 
-    # point blocks: symmetric 3×3 per point as 6 × (n_pt,) + damping
-    hpp = {}
-    for k in range(3):
-        for l in range(k, 3):
-            hpp[(k, l)] = segp(Jp[0][k] * Jp[0][l] + Jp[1][k] * Jp[1][l])
+    # damp the symmetric 3×3 point blocks (hpp6 order: 00,01,02,11,12,22)
+    hpp = {(0, 0): hpp6[0], (0, 1): hpp6[1], (0, 2): hpp6[2],
+           (1, 1): hpp6[3], (1, 2): hpp6[4], (2, 2): hpp6[5]}
     a = hpp[(0, 0)] + lam * hpp[(0, 0)] + 1e-8
     d = hpp[(1, 1)] + lam * hpp[(1, 1)] + 1e-8
     f = hpp[(2, 2)] + lam * hpp[(2, 2)] + 1e-8
@@ -248,14 +273,37 @@ def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
     dp_cols = hpp_solve(rhs_p)
     dp_pts = jnp.stack(dp_cols, axis=1)
 
-    # predicted decrease for LM gain ratio: −(gᵀΔ + ½ΔᵀHΔ) ≈ ½ Δᵀ(λDΔ − g)
-    pred_dec = 0.5 * (dot(dc_cam, -g_c)
-                      + sum(jnp.sum(dp_cols[k] * -g_p[k]) for k in range(3)))
+    # predicted decrease of the Gauss–Newton model for the LM gain ratio:
+    # −(gᵀΔ + ½ΔᵀJᵀJΔ), with ΔᵀJᵀJΔ = ‖JΔ‖² from one full obs-apply
+    # (u above is Jc·Δc; add Jp·Δp). Exact regardless of PCG tolerance —
+    # the earlier −½gᵀΔ form dropped the curvature term and mis-scaled
+    # the Nielsen damping adaptation.
+    dpg = [dp_cols[k][pt_idx] for k in range(3)]
+    Jdelta = [u[i] + sum(Jp[i][k] * dpg[k] for k in range(3))
+              for i in range(2)]
+    g_dot_d = dot(dc_cam, g_c) + sum(jnp.sum(dp_cols[k] * g_p[k])
+                                     for k in range(3))
+    jtj_quad = jnp.sum(Jdelta[0] * Jdelta[0]) + jnp.sum(Jdelta[1] * Jdelta[1])
+    pred_dec = -(g_dot_d + 0.5 * jtj_quad)
     return dc_cam, dp_pts, pred_dec
+
+
+def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
+                 cg_tol=1e-3):
+    """One damped Gauss–Newton step: jacobian precompute + damped solve in a
+    single graph (kept for one-shot callers; solve() calls the two halves
+    separately so λ retries reuse the jacobians)."""
+    jac = lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt)
+    return lm_solve_impl(jac, obs.cam_idx, obs.pt_idx, lam,
+                         cg_iters=cg_iters, cg_tol=cg_tol)
 
 
 lm_step = functools.partial(jax.jit, static_argnames=("n_cam", "n_pt",
                                                       "cg_iters", "cg_tol"))(lm_step_impl)
+lm_jacobians = functools.partial(
+    jax.jit, static_argnames=("n_cam", "n_pt"))(lm_jacobians_impl)
+lm_solve = functools.partial(
+    jax.jit, static_argnames=("cg_iters", "cg_tol"))(lm_solve_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -597,11 +645,14 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
     it = 0
     for it in range(config.max_iters):
         accepted = False
+        # jacobians (10 whole-batch JVPs — the dominant cost at mission
+        # scale) don't depend on λ: compute once, reuse across retries
+        jac = lm_jacobians(cams, pts, obs, K, dist, n_cam, n_pt)
         for _ in range(config.max_retries):
-            dc, dp, pred_dec = lm_step(cams, pts, obs, K, dist,
-                                       jnp.float32(lam), n_cam, n_pt,
-                                       cg_iters=config.cg_iters,
-                                       cg_tol=config.cg_tol)
+            dc, dp, pred_dec = lm_solve(jac, obs.cam_idx, obs.pt_idx,
+                                        jnp.float32(lam),
+                                        cg_iters=config.cg_iters,
+                                        cg_tol=config.cg_tol)
             cams_new = cams + dc
             # project onto bounds + renormalize quats
             ned = jnp.clip(cams_new[:, :3], lo, hi)

@@ -378,14 +378,21 @@ class ProjectMgr:
         single call."""
         import jax.numpy as jnp
 
-        images = [im for im in (images or self.image_list)
-                  if im.uv_list is None]
+        # `images=[]` means "nothing to do", not "all images" — only None
+        # falls back to the full project list
+        pool = self.image_list if images is None else images
+        images = [im for im in pool if im.uv_list is None]
         if not images:
             return
         for im in images:
             if im.kp is None:
                 im.load_features()
-        counts = [0 if im.kp is None else len(im.kp) for im in images]
+        # images whose features failed to load keep uv_list=None so the
+        # downstream `uv_list is None` checks behave like the per-image path
+        images = [im for im in images if im.kp is not None]
+        if not images:
+            return
+        counts = [len(im.kp) for im in images]
         model = self.camera_model(optimized)
         # ragged-flattened 1-D arrays in fixed-size chunks: one compiled
         # shape regardless of mission size, and no (..., 2) trailing-dim

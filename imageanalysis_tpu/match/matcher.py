@@ -155,6 +155,28 @@ class BatchMatcher:
         return "none" if self.config.transform == "essential5" else \
             self.config.transform
 
+    def _dispatch(self, desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, bf16):
+        """Launch one padded pair batch on device; returns the DEVICE array
+        (download deferred so callers can overlap compute with unpacking).
+
+        int16 packing holds only for npad < 32768 — beyond that (an uncapped
+        SIFT run on a huge image) fall back to the int32 path and pack on
+        the host, instead of silently wrapping indices negative."""
+        cfg = self.config
+        npad = desc_a.shape[1]
+        if npad < 32768:
+            return match_pair_batch_packed(
+                desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
+                ratio=cfg.ratio, thresh=self.thresh,
+                transform=self._dev_transform(),
+                n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
+        best_j, ok = match_pair_batch(
+            desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
+            ratio=cfg.ratio, thresh=self.thresh,
+            transform=self._dev_transform(),
+            n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
+        return jnp.where(ok, best_j, -1)
+
     def _post_filter(self, i1, i2, rows, cols):
         """Host-side 5-point essential refilter of device 2-NN survivors."""
         if self.config.transform != "essential5" or len(rows) < 8:
@@ -230,13 +252,10 @@ class BatchMatcher:
                 n_a[bi], n_b[bi] = na, nb
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
-            packed = match_pair_batch_packed(
+            packed = self._dispatch(
                 jnp.asarray(desc_a), jnp.asarray(desc_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
-                jnp.asarray(n_a), jnp.asarray(n_b), keys, self.K,
-                ratio=cfg.ratio, thresh=self.thresh,
-                transform=self._dev_transform(),
-                n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=cfg.bf16)
+                jnp.asarray(n_a), jnp.asarray(n_b), keys, cfg.bf16)
             n_matched += _store_unpack(images, chunk, np.asarray(packed),
                                        self.config.min_pairs,
                                        post_filter=self._post_filter)
@@ -245,7 +264,13 @@ class BatchMatcher:
     def _match_pairs_store(self, pairs, progress=True):
         """Store path: image indices go to the device; descriptors never
         leave HBM. Chunks are padded to the static batch size with dummy
-        (0, 0) pairs whose results are discarded."""
+        (0, 0) pairs whose results are discarded.
+
+        Double-buffered like features/detect.py: dispatch chunk i, then
+        download + unpack chunk i−1 while the device computes — the ~19 MB/s
+        tunnel transfer and host-side list building run in the shadow of
+        device compute instead of serializing with it (the r2 mission
+        measured 302 pairs/s wall against a 1426 pairs/s device core)."""
         cfg = self.config
         images = self.proj.image_list
         # store batches cost no host assembly, so go wide: fewer dispatches
@@ -263,41 +288,53 @@ class BatchMatcher:
                 pass
         bf16 = self.store.dtype == "uint8" or cfg.bf16
         n_matched = 0
+        pending = None  # (chunk, device result) awaiting download
         for start in it:
             chunk = pairs[start:start + B]
-            ii = np.zeros(B, np.int32)
-            jj = np.zeros(B, np.int32)
-            for bi, (i, j) in enumerate(chunk):
-                ii[bi], jj[bi] = i, j
-            desc_a, uv_a, n_a = self.store.gather(ii)
-            desc_b, uv_b, n_b = self.store.gather(jj)
+            idx = np.zeros((B, 2), np.int32)
+            idx[: len(chunk)] = chunk
+            desc_a, uv_a, n_a = self.store.gather(idx[:, 0])
+            desc_b, uv_b, n_b = self.store.gather(idx[:, 1])
             # dummy padding slots match an image against itself; drop below
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
-            packed = match_pair_batch_packed(
-                desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
-                ratio=cfg.ratio, thresh=self.thresh,
-                transform=self._dev_transform(),
-                n_hyp=cfg.n_hyp, use_pallas=cfg.use_pallas, bf16=bf16)
-            n_matched += _store_unpack(images, chunk, np.asarray(packed),
+            dev = self._dispatch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys,
+                                 bf16)
+            if pending is not None:
+                n_matched += _store_unpack(images, pending[0],
+                                           np.asarray(pending[1]),
+                                           cfg.min_pairs,
+                                           post_filter=self._post_filter)
+            pending = (chunk, dev)
+        if pending is not None:
+            n_matched += _store_unpack(images, pending[0],
+                                       np.asarray(pending[1]),
                                        cfg.min_pairs,
                                        post_filter=self._post_filter)
         return n_matched
 
 
 def _store_unpack(images, chunk, packed, min_pairs, post_filter=None):
-    """Shared result unpacking: packed int16 (−1 = no match) → match_list."""
+    """Shared result unpacking: packed int (−1 = no match) → match_list.
+
+    One whole-batch nonzero + a searchsorted split instead of a per-pair
+    nonzero loop: at mission scale the per-pair python/numpy overhead was
+    a visible slice of the match stage's host time (VERDICT r2 weak #1)."""
     n_matched = 0
+    pk = packed[: len(chunk)]
+    bi_all, rows_all = np.nonzero(pk >= 0)
+    cols_all = pk[bi_all, rows_all].astype(np.int64)
+    starts = np.searchsorted(bi_all, np.arange(len(chunk) + 1))
     for bi, (i, j) in enumerate(chunk):
         i1, i2 = images[i], images[j]
-        rows = np.nonzero(packed[bi] >= 0)[0]
-        cols = packed[bi, rows].astype(np.int64)
+        rows = rows_all[starts[bi]:starts[bi + 1]]
+        cols = cols_all[starts[bi]:starts[bi + 1]]
         if post_filter is not None:
             rows, cols = post_filter(i1, i2, rows, cols)
         if len(rows) < min_pairs:
             rows = rows[:0]
             cols = cols[:0]
-        idx_pairs = np.stack([rows, cols], axis=1).astype(int).tolist()
+        idx_pairs = np.stack([rows, cols], axis=1).tolist()
         i1.match_list[i2.name] = idx_pairs
         i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
         i1.matches_clean = False
@@ -355,6 +392,12 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
     t0 = time.time()
     last_save = t0
     B = config.batch_size * 8
+    if matcher.store is not None:
+        # store batches are 256 wide and double-buffered: feed ≥8 of them
+        # per outer chunk so batches stay full and the pipeline stays primed
+        # (an outer chunk of 128 would half-fill a single 256 batch);
+        # smart-prior updates then run every ~2048 pairs instead of ~128
+        B = max(B, 2048)
     total = 0
     for s in range(0, len(todo), B):
         chunk = todo[s:s + B]
@@ -381,14 +424,11 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
                 smart_state.save()
             last_save = time.time()
     if n_proc > 1:
-        _merge_multihost_matches(proj)
+        _merge_multihost_matches(proj, smart_state=smart_state)
     else:
         _save_all_matches(proj)
-    if smart_state is not None and (n_proc == 1 or jax.process_index() == 0):
-        # NOTE: multi-host smart priors are rank-local; rank 0 persists its
-        # shard's estimates (requalify/yaw correction re-derives from the
-        # merged match files afterwards)
-        smart_state.save()
+        if smart_state is not None:
+            smart_state.save()
     dt = time.time() - t0
     if todo:
         log(f"Matched {len(todo)} pairs in {dt:.1f}s "
@@ -426,18 +466,26 @@ def _save_rank_shard(proj):
     os.replace(tmp, path)
 
 
-def _merge_multihost_matches(proj):
+def _merge_multihost_matches(proj, smart_state=None):
     """Barrier, then rank 0 unions every rank's shard into the canonical
     per-image .match files (pairs are disjoint across ranks, so a key-wise
-    dict union is exact)."""
+    dict union is exact). When smart_state is given, its per-rank evidence
+    shards merge the same way (SmartState.merge_shard_data) so rank 0's
+    persisted smart.json — the one the yaw correction reads — carries
+    EVERY rank's pair evidence, not just rank 0's."""
     import glob
+    import json
     import pickle
 
     from jax.experimental import multihost_utils
 
+    rank = jax.process_index()
     _save_rank_shard(proj)
+    if smart_state is not None:
+        smart_state.save_shard(os.path.join(_shard_dir(proj),
+                                            f"smart_rank{rank}.json"))
     multihost_utils.sync_global_devices("imageanalysis_match_shards")
-    if jax.process_index() == 0:
+    if rank == 0:
         by_name = {im.name: im for im in proj.image_list}
         for path in sorted(glob.glob(os.path.join(_shard_dir(proj),
                                                   "rank*.pkl"))):
@@ -454,5 +502,16 @@ def _merge_multihost_matches(proj):
         _save_all_matches(proj)
         for path in glob.glob(os.path.join(_shard_dir(proj), "rank*.pkl")):
             os.remove(path)
+        if smart_state is not None:
+            for path in sorted(glob.glob(os.path.join(
+                    _shard_dir(proj), "smart_rank*.json"))):
+                if path.endswith("smart_rank0.json"):
+                    continue  # rank 0's evidence is already in smart_state
+                with open(path) as f:
+                    smart_state.merge_shard_data(json.load(f))
+            smart_state.save()
+            for path in glob.glob(os.path.join(_shard_dir(proj),
+                                               "smart_rank*.json")):
+                os.remove(path)
     # everyone waits until the canonical files exist
     multihost_utils.sync_global_devices("imageanalysis_match_merged")

@@ -100,18 +100,51 @@ class SmartState:
                             "dist_m": round(float(dist_m), 1),
                             "relative_crs": round(float(crs_aff), 1),
                             "weight": round(float(weight), 1)}
+        return self._refresh_yaw(name1)
+
+    def _refresh_yaw(self, name):
         s = c = 0.0
-        for rec in yaw_pairs.values():
+        for rec in self.node(name).get("yaw_pairs", {}).values():
             if rec["dist_m"] >= YAW_MIN_DIST and abs(rec["yaw_error"]) <= YAW_MAX:
                 s += rec["yaw_error"] * rec["weight"]
                 c += rec["weight"]
         if c > 0:
-            self.node(name1)["yaw_error"] = round(s / c, 1)
+            self.node(name)["yaw_error"] = round(s / c, 1)
             return s / c
         return 0.0
 
     def get_yaw_error(self, name):
         return float(self.node(name).get("yaw_error", 0.0))
+
+    # -- multi-host shard merge -------------------------------------------
+    def save_shard(self, path):
+        """Persist this rank's accumulated state as a shard file (atomic)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f)
+        os.replace(tmp, path)
+
+    def merge_shard_data(self, other: dict):
+        """Union another rank's pairwise evidence into this state and refresh
+        the per-image aggregates. Pairs are disjoint across ranks (the match
+        work list is sharded), so a key-wise union of tri_surface_pairs /
+        yaw_pairs is exact; the weighted means are then recomputed from the
+        full evidence — without this, N-host runs silently dropped
+        (N−1)/N of the yaw evidence (rank 0's shard only)."""
+        touched = set()
+        for name, node in other.items():
+            mine = self.node(name)
+            for key in ("tri_surface_pairs", "yaw_pairs"):
+                if node.get(key):
+                    mine.setdefault(key, {}).update(node[key])
+                    touched.add(name)
+            for k, v in node.items():
+                if k not in ("tri_surface_pairs", "yaw_pairs",
+                             "tri_surface_m", "yaw_error") and k not in mine:
+                    mine[k] = v
+        for name in touched:
+            self._refresh_surface(name)
+            self._refresh_yaw(name)
 
     def update_srtm_elevations(self, proj, terrain):
         """srtm_surface_m under each camera (reference smart.py:319-326).

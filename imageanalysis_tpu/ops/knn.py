@@ -50,8 +50,17 @@ def pad_descriptors(desc, n_pad):
 # jnp reference implementation
 # ---------------------------------------------------------------------------
 
-def knn_top2_ref(desc_a, desc_b, bf16=True):
-    """Exact 2-NN by squared L2, materializing the distance matrix."""
+def knn_top2_ref(desc_a, desc_b, bf16=True, gate_uv_a=None, gate_pred_b=None,
+                 gate_radius=0.0):
+    """Exact 2-NN by squared L2, materializing the distance matrix.
+
+    int8 descriptors compute in f32 (exact: values ≤ 255, d ≤ 128).
+    gate_* (see knn_top2): candidates beyond gate_radius px of the
+    predicted image-A position are excluded before the top-2."""
+    if desc_a.dtype == jnp.int8:
+        desc_a = desc_a.astype(jnp.float32)
+        desc_b = desc_b.astype(jnp.float32)
+        bf16 = False
     na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1)
     nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1)
     if bf16:
@@ -60,6 +69,10 @@ def knn_top2_ref(desc_a, desc_b, bf16=True):
     else:
         ab = jnp.dot(desc_a.astype(jnp.float32), desc_b.astype(jnp.float32).T)
     d2 = na2[:, None] + nb2[None, :] - 2.0 * ab
+    if gate_radius > 0.0 and gate_uv_a is not None:
+        diff = gate_uv_a[:, None, :] - gate_pred_b[None, :, :]
+        gd2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(gd2 > float(gate_radius) ** 2, _BIG, d2)
     neg_top, row_i = jax.lax.top_k(-d2, 2)
     row_d = -neg_top
     col_d = jnp.min(d2, axis=0)
@@ -79,29 +92,63 @@ _IDX_MASK = (1 << _IDX_BITS) - 1
 _KEY_MAX = 0x7FFFFFFF
 
 
-def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, row_ref, col_ref,
-                       r1_ref, r2_ref, *, tile_a, tile_b):
+def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, *rest, tile_a,
+                       tile_b, radius2=None):
     """Packed-key variant: the low 13 mantissa bits of each (non-negative)
     squared distance are replaced by the candidate index, so a single
     uint32 min returns value AND argmin together (positive-float bit
     patterns order like the values). Halves the VPU reduction passes of
     the unpacked kernel; costs ≤2⁻¹⁰ relative distance precision — far
     below descriptor noise, and the ratio test compares two equally
-    truncated values. Outputs stay packed; the caller decodes."""
+    truncated values. Outputs stay packed; the caller decodes.
+
+    Two compile-time variants share this body:
+    - int8 descriptors: the distance matmul runs on the int8 MXU (2× the
+      bf16 rate) with EXACT int32 distances — SIFT descriptors are
+      natively uint8, so d2 ≤ 128·255² < 2²³ converts to f32 losslessly;
+    - radius2 is not None: spatial candidate gating (the reference's
+      smart projection seeding, matcher.py:358-593) — candidates whose
+      image-A position sits farther than √radius2 px from the B
+      keypoint's ground-projected prediction are excluded from both the
+      row top-2 and the mutual-check column min, BEFORE the ratio test,
+      which is what disambiguates repetitive texture."""
+    if radius2 is not None:
+        ua_ref, pb_ref, row_ref, col_ref, r1_ref, r2_ref = rest
+    else:
+        row_ref, col_ref, r1_ref, r2_ref = rest
     ia = pl.program_id(0)
     ib = pl.program_id(1)
     nb_tiles = pl.num_programs(1)
 
     dn = (((1,), (1,)), ((), ()))
-    ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.DEFAULT)
-    na2 = na2_ref[:][:, 0]
-    nb2 = nb2_ref[:][:, 0]
-    d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
+    if a_ref.dtype == jnp.int8:
+        # precision must be DEFAULT explicitly (package sets
+        # jax_default_matmul_precision=float32 globally; Mosaic rejects the
+        # resulting HIGHEST-precision int dot with "Bad lhs type")
+        ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                                 preferred_element_type=jnp.int32,
+                                 precision=jax.lax.Precision.DEFAULT)
+        na2 = na2_ref[:][:, 0]
+        nb2 = nb2_ref[:][:, 0]
+        # exact int32 squared distances (a true sum of squares: never < 0)
+        d2 = (na2[:, None] + nb2[None, :] - 2 * ab).astype(jnp.float32)
+    else:
+        ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
+        na2 = na2_ref[:][:, 0]
+        nb2 = nb2_ref[:][:, 0]
+        d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
 
     bits = jax.lax.bitcast_convert_type(d2, jnp.int32) \
         & jnp.int32(~_IDX_MASK)
+    if radius2 is not None:
+        ua = ua_ref[:]
+        pb = pb_ref[:]
+        dx = ua[:, 0][:, None] - pb[:, 0][None, :]
+        dy = ua[:, 1][:, None] - pb[:, 1][None, :]
+        gated_out = dx * dx + dy * dy > radius2
+        bits = jnp.where(gated_out, jnp.int32(_KEY_MAX & ~_IDX_MASK), bits)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, tile_b), 1) \
         + ib * tile_b
     rowkey = bits | cols                                  # (ta, tb)
@@ -227,10 +274,21 @@ def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
         col_i_ref[:, sl] = jnp.where(better, ci, col_i_ref[:, sl])
 
 
-@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "bf16"))
-def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
+@functools.partial(jax.jit, static_argnames=("tile_a", "tile_b", "bf16",
+                                             "gate_radius"))
+def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True,
+             gate_uv_a=None, gate_pred_b=None, gate_radius=0.0):
     """Fused streaming 2-NN. desc_a: (n_a, d), desc_b: (n_b, d); n_a % tile_a
     and n_b % tile_b must be 0 (use pad_descriptors).
+
+    int8 descriptors take the int8-MXU path with exact integer distances
+    (SIFT is natively uint8; store descriptors as value−128).
+
+    gate_uv_a (n_a, 2) + gate_pred_b (n_b, 2) + gate_radius > 0 enable
+    spatial candidate gating: only B keypoints whose predicted image-A
+    position lies within gate_radius px of an A keypoint are match
+    candidates for it (packed-key path only — callers fall back to the
+    reference impl beyond 8192 features).
 
     Default tiles (hardware-swept, r2): take the WHOLE B axis in one tile
     when it fits VMEM — running-state merges and the column-output
@@ -239,6 +297,7 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
     to compile)."""
     n_a, d = desc_a.shape
     n_b = desc_b.shape[0]
+    int8_in = desc_a.dtype == jnp.int8
     if tile_a is None and tile_b is None:
         # a (tile_a × n_b) block costs ~12 B/element of scoped VMEM (d2 +
         # its masked copy + in/out buffers); stay under the 16 MB budget
@@ -253,23 +312,41 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
     assert n_a % tile_a == 0 and n_b % tile_b == 0, (n_a, n_b, tile_a, tile_b)
     grid = (n_a // tile_a, n_b // tile_b)
 
-    na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-    in_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if int8_in:
+        na2 = jnp.sum(jnp.square(desc_a.astype(jnp.int32)), axis=-1,
+                      keepdims=True)
+        nb2 = jnp.sum(jnp.square(desc_b.astype(jnp.int32)), axis=-1,
+                      keepdims=True)
+        in_dtype = jnp.int8
+    else:
+        na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        in_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
+    gated = gate_radius > 0.0 and gate_uv_a is not None
     if max(n_a, n_b) <= (1 << _IDX_BITS):
         # packed-key path: one min per reduction instead of min+argmin
-        kernel = functools.partial(_knn_kernel_packed, tile_a=tile_a,
-                                   tile_b=tile_b)
+        kernel = functools.partial(
+            _knn_kernel_packed, tile_a=tile_a, tile_b=tile_b,
+            radius2=float(gate_radius) ** 2 if gated else None)
+        in_specs = [
+            pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
+            pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
+        ]
+        inputs = [desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2]
+        if gated:
+            in_specs += [
+                pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+                pl.BlockSpec((tile_b, 2), lambda ia, ib: (ib, 0)),
+            ]
+            inputs += [gate_uv_a.astype(jnp.float32),
+                       gate_pred_b.astype(jnp.float32)]
         row_p, col_p = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
-                pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
-                pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
-                pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
                 pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
@@ -283,7 +360,7 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
                 pltpu.VMEM((tile_a, 1), jnp.int32),
             ],
             interpret=jax.default_backend() != "tpu",
-        )(desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2)
+        )(*inputs)
         mask = jnp.int32(~_IDX_MASK)
         row_d = jax.lax.bitcast_convert_type(row_p & mask, jnp.float32)
         row_i = row_p & _IDX_MASK
@@ -291,6 +368,18 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
         col_i = col_p[0] & _IDX_MASK
         return row_d, row_i, col_d, col_i
 
+    if gated:
+        raise NotImplementedError(
+            "spatial gating needs the packed-key kernel (n ≤ 8192); "
+            "use knn_top2_ref for larger feature sets")
+    if int8_in:
+        # the unpacked running-state kernel is float-only; int8 loses its
+        # MXU advantage beyond 8192 features — cast and take the bf16 path
+        desc_a = desc_a.astype(jnp.bfloat16)
+        desc_b = desc_b.astype(jnp.bfloat16)
+        na2 = na2.astype(jnp.float32)
+        nb2 = nb2.astype(jnp.float32)
+        in_dtype = jnp.bfloat16
     kernel = functools.partial(_knn_kernel, tile_a=tile_a, tile_b=tile_b)
     row_d, row_i, col_d, col_i = pl.pallas_call(
         kernel,
@@ -328,9 +417,11 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True):
 # Match assembly (ratio test + mutual cross-check), dense form
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "bf16", "mutual"))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "bf16", "mutual",
+                                             "gate_radius"))
 def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
-                     use_pallas=False, bf16=True):
+                     use_pallas=False, bf16=True, gate_uv_a=None,
+                     gate_pred_b=None, gate_radius=0.0):
     """Lowe-ratio + mutual-consistency matching of one descriptor pair.
 
     desc_a/desc_b are padded to static shapes; n_a/n_b give the real counts.
@@ -338,11 +429,20 @@ def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
     match survives the ratio test (reference matcher.py:239-257: L2 distances
     d1 < ratio·d2, applied here on squared distances as d1 < ratio²·d2) and
     the bidirectional cross-check (reference matcher.py:187-201, 304-356).
+
+    gate_uv_a/gate_pred_b/gate_radius (see knn_top2) restrict candidates to
+    a spatial neighborhood of a ground-projected position prior — the
+    reference's smart seeding (matcher.py:358-593) as a kernel mask.
     """
-    if use_pallas:
-        row_d, row_i, col_d, col_i = knn_top2(desc_a, desc_b, bf16=bf16)
+    gate_ok = max(desc_a.shape[0], desc_b.shape[0]) <= (1 << _IDX_BITS)
+    if use_pallas and (gate_radius <= 0.0 or gate_ok):
+        row_d, row_i, col_d, col_i = knn_top2(
+            desc_a, desc_b, bf16=bf16, gate_uv_a=gate_uv_a,
+            gate_pred_b=gate_pred_b, gate_radius=gate_radius)
     else:
-        row_d, row_i, col_d, col_i = knn_top2_ref(desc_a, desc_b, bf16=bf16)
+        row_d, row_i, col_d, col_i = knn_top2_ref(
+            desc_a, desc_b, bf16=bf16, gate_uv_a=gate_uv_a,
+            gate_pred_b=gate_pred_b, gate_radius=gate_radius)
 
     n_a_pad = desc_a.shape[0]
     arange_a = jnp.arange(n_a_pad, dtype=jnp.int32)

@@ -100,6 +100,25 @@ def is_rank0():
     return jax.process_index() == 0
 
 
+def agree(flag: bool, name="decision") -> bool:
+    """Rank 0's boolean decision, broadcast so every rank branches
+    identically. Each rank reading STEP marker files independently can
+    observe different state (NFS attribute-cache lag after rank 0 touches
+    a marker, coarse mtime granularity) — mismatched branches then reach
+    barriers in different orders and the job hangs. Single-process: the
+    local flag, unchanged."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    v = multihost_utils.broadcast_one_to_all(
+        np.array([1 if flag else 0], np.int32))
+    return bool(np.asarray(v)[0])
+
+
 def process_shard(items, axis_index=None, axis_total=None):
     """This process's contiguous slice of a host-side work list (pairs,
     images): multi-host data parallelism for the stages that never touch

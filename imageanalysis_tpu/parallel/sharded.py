@@ -86,11 +86,59 @@ def sharded_lm_step(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3):
     )
 
 
+def _jac_shardings(mesh: Mesh, axis="dp"):
+    """Sharding pytree matching bundle.lm_jacobians' output: per-observation
+    arrays (Jc/Jp/r) stay sharded over the obs axis; the reduced blocks
+    (g_c, g_p, Hcc, hpp — psum results) are replicated."""
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return (tuple(tuple(sh for _ in range(7)) for _ in range(2)),
+            tuple(tuple(sh for _ in range(3)) for _ in range(2)),
+            (sh, sh), rep, (rep, rep, rep), rep,
+            tuple(rep for _ in range(6)))
+
+
+def sharded_lm_jacobians(mesh: Mesh, axis="dp"):
+    """The λ-independent jacobian precompute, observation-sharded. Pairs
+    with sharded_lm_solve so λ retries reuse the JVPs (same split as the
+    single-chip bundle.solve)."""
+    obs_sh = bundle.BAObservations(
+        cam_idx=NamedSharding(mesh, P(axis)),
+        pt_idx=NamedSharding(mesh, P(axis)),
+        uv=NamedSharding(mesh, P(axis)),
+        weight=NamedSharding(mesh, P(axis)),
+    )
+    rep = NamedSharding(mesh, P())
+
+    def impl(cams, pts, obs, K, dist):
+        return bundle.lm_jacobians_impl(cams, pts, obs, K, dist,
+                                        cams.shape[0], pts.shape[0])
+
+    return jax.jit(impl, in_shardings=(rep, rep, obs_sh, rep, rep),
+                   out_shardings=_jac_shardings(mesh, axis))
+
+
+def sharded_lm_solve(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3):
+    """The per-λ damped Schur/PCG solve over precomputed sharded jacobians."""
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def impl(jac, cam_idx, pt_idx, lam):
+        return bundle.lm_solve_impl(jac, cam_idx, pt_idx, lam,
+                                    cg_iters=cg_iters, cg_tol=cg_tol)
+
+    return jax.jit(impl,
+                   in_shardings=(_jac_shardings(mesh, axis), sh, sh, rep),
+                   out_shardings=(rep, rep, rep))
+
+
 def solve_sharded(cams0, pts0, obs, K, dist, mesh: Mesh,
                   config: bundle.BAConfig = bundle.BAConfig(), verbose=True,
                   log_fn=print):
     """bundle.solve with the inner step sharded over a device mesh."""
-    step = sharded_lm_step(mesh, cg_iters=config.cg_iters, cg_tol=config.cg_tol)
+    jac_fn = sharded_lm_jacobians(mesh)
+    solve_fn = sharded_lm_solve(mesh, cg_iters=config.cg_iters,
+                                cg_tol=config.cg_tol)
     obs_dev = shard_observations(obs, mesh)
     rep = NamedSharding(mesh, P())
     cost_fn = jax.jit(
@@ -102,23 +150,24 @@ def solve_sharded(cams0, pts0, obs, K, dist, mesh: Mesh,
             weight=NamedSharding(mesh, P("dp"))), rep, rep),
         out_shardings=(rep, rep, rep),
     )
-    return _solve_loop(cams0, pts0, obs_dev, K, dist, config, step, cost_fn,
-                       verbose, log_fn)
+    return _solve_loop(cams0, pts0, obs_dev, K, dist, config, jac_fn,
+                       solve_fn, cost_fn, verbose, log_fn)
 
 
-def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
-                log_fn):
+def _solve_loop(cams0, pts0, obs, K, dist, config, jac_fn, solve_fn, cost_fn,
+                verbose, log_fn):
     """The LM outer loop shared by single- and multi-chip paths (mirrors
-    bundle.solve; kept separate so the sharded step/cost are injected)."""
+    bundle.solve; kept separate so the sharded jac/solve/cost are injected).
+    Jacobians are computed once per outer iteration and reused across λ
+    retries; damping adapts via the Nielsen gain ratio."""
     cams = jnp.asarray(cams0, dtype=jnp.float32)
     pts = jnp.asarray(pts0, dtype=jnp.float32)
-    n_cam, n_pt = cams.shape[0], pts.shape[0]
     ned0 = cams[:, :3]
     lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
     hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
 
-    del n_cam, n_pt  # sizes travel via shapes
     lam = config.lam0
+    nu = 2.0
     cost, mre, mx = cost_fn(cams, pts, obs, K, dist)
     cost = float(cost)
     history = [cost]
@@ -127,8 +176,10 @@ def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
     it = 0
     for it in range(config.max_iters):
         accepted = False
+        jac = jac_fn(cams, pts, obs, K, dist)
         for _ in range(config.max_retries):
-            dc, dp, _ = step_fn(cams, pts, obs, K, dist, jnp.float32(lam))
+            dc, dp, pred_dec = solve_fn(jac, obs.cam_idx, obs.pt_idx,
+                                        jnp.float32(lam))
             cams_new = cams + dc
             ned = jnp.clip(cams_new[:, :3], lo, hi)
             q = cams_new[:, 3:7]
@@ -138,10 +189,13 @@ def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
             new_cost, new_mre, new_mx = cost_fn(cams_new, pts_new, obs, K, dist)
             new_cost = float(new_cost)
             if np.isfinite(new_cost) and new_cost < cost:
+                rho = (cost - new_cost) / max(float(pred_dec), 1e-30)
                 cams, pts = cams_new, pts_new
                 rel = 1.0 - new_cost / cost
                 cost = new_cost
-                lam = max(lam / config.lam_down, 1e-9)
+                lam = max(lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                          1e-9)
+                nu = 2.0
                 accepted = True
                 if verbose:
                     log_fn(f"  iter {it}: mre={float(new_mre):.3f}px "
@@ -150,7 +204,8 @@ def _solve_loop(cams0, pts0, obs, K, dist, config, step_fn, cost_fn, verbose,
                 if rel < config.ftol:
                     accepted = "converged"
                 break
-            lam = min(lam * config.lam_up, 1e6)
+            lam = min(lam * nu, 1e6)
+            nu = min(nu * 2.0, 64.0)
         if accepted == "converged" or not accepted:
             break
     _, mre, _ = cost_fn(cams, pts, obs, K, dist)

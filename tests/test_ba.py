@@ -75,6 +75,42 @@ def test_ba_converges(rng):
     assert np.median(err) < 1.0
 
 
+def test_lm_pred_decrease_matches_dense_model(rng):
+    """lm_solve's predicted decrease must equal the dense GN-model decrease
+    −(gᵀΔ + ½ΔᵀJᵀJΔ) — the λ-damping adaptation (Nielsen gain ratio) is
+    computed against it, so a wrong denominator mis-scales every λ update."""
+    _, _, cams0, pts0, obs = synth_problem(rng, n_cam=6, n_pt=60, obs_per_pt=3)
+    cams = jnp.asarray(cams0)
+    pts = jnp.asarray(pts0)
+    n_cam, n_pt = cams.shape[0], pts.shape[0]
+    Kj, Dj = jnp.asarray(K), jnp.asarray(DIST)
+    jac = bundle.lm_jacobians(cams, pts, obs, Kj, Dj, n_cam, n_pt)
+    dc, dp, pred = bundle.lm_solve(jac, obs.cam_idx, obs.pt_idx,
+                                   jnp.float32(1e-2), cg_iters=300,
+                                   cg_tol=1e-10)
+
+    def res_flat(x):
+        c = x[: n_cam * 7].reshape(n_cam, 7)
+        p = x[n_cam * 7:].reshape(n_pt, 3)
+        return bundle._residuals(c, p, obs, Kj, Dj).ravel()
+
+    x0 = jnp.concatenate([cams.ravel(), pts.ravel()])
+    J = jax.jacfwd(res_flat)(x0)
+    r = res_flat(x0)
+    delta = jnp.concatenate([dc.ravel(), dp.ravel()])
+    g = J.T @ r
+    model_dec = -(g @ delta + 0.5 * delta @ (J.T @ (J @ delta)))
+    assert float(pred) > 0.0
+    np.testing.assert_allclose(float(pred), float(model_dec), rtol=1e-3)
+
+    # at a mildly-perturbed point the quadratic model is accurate:
+    # actual/predicted ≈ 1 (f32 noise swamps the ratio only at convergence)
+    c0, _, _ = bundle.ba_cost(cams, pts, obs, Kj, Dj)
+    c1, _, _ = bundle.ba_cost(cams + dc, pts + dp, obs, Kj, Dj)
+    rho = (float(c0) - float(c1)) / max(float(pred), 1e-30)
+    assert 0.5 < rho < 1.5, rho
+
+
 def test_ba_respects_bounds(rng):
     cams_true, pts_true, cams0, pts0, obs = synth_problem(rng, n_cam=9, n_pt=150)
     res = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
@@ -185,7 +221,9 @@ def test_huber_irls_rejects_outliers(rng):
 
     err_plain = aligned_err(plain)
     err_rob = aligned_err(robust)
-    assert err_rob < err_plain * 0.7, (err_rob, err_plain)
+    # margin loosened from 0.7 after the Nielsen gain-ratio fix improved the
+    # PLAIN solver's convergence on this problem (robust still clearly wins)
+    assert err_rob < err_plain * 0.85, (err_rob, err_plain)
     # the IRLS weights must identify the planted outliers
     w_obs = bundle.reweight_huber(jnp.asarray(robust.cams),
                                   jnp.asarray(robust.pts), obs_c,
