@@ -37,7 +37,7 @@ class MatchConfig:
     def __init__(self, strategy="traditional", ratio=0.75, transform="homography",
                  match_ratio=None, min_pairs=25, filter_thresh=None,
                  batch_size=16, n_hyp=512, detector_width=None, bf16=True,
-                 use_pallas=None, seed=42):
+                 use_pallas=None, seed=42, gate_radius_frac=0.2):
         self.strategy = strategy
         self.ratio = match_ratio if match_ratio is not None else ratio
         # homography|fundamental|essential|essential5|none — essential5 is
@@ -52,6 +52,11 @@ class MatchConfig:
         self.bf16 = bf16
         self.use_pallas = use_pallas
         self.seed = seed
+        # smart strategy: 2-NN candidates are gated to within
+        # gate_radius_frac·diag px of the ground-projected position prior
+        # (the reference's projection seeding, matcher.py:358-593). 0
+        # disables gating (r2 behavior: priors + requalification only).
+        self.gate_radius_frac = gate_radius_frac
 
 
 def _round_up(x, m):
@@ -109,6 +114,81 @@ def match_pair_batch_packed(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
     return jnp.where(ok, best_j, -1).astype(jnp.int16)
 
 
+def _predict_uv_in_a(uv_b, cam_a, cam_b, ground_z, K):
+    """Ground-projected position prior: cast rays from camera B through its
+    (undistorted) keypoints, intersect the horizontal plane z = ground_z
+    (NED, so ground_z = −elevation_m), and project the ground points into
+    camera A. The reference does this for an 8×8 grid and fits a homography
+    (matcher.py:403-470); per-keypoint projection inside the jit is exact
+    for the same cost and needs no host round trip. Invalid rays (upward,
+    behind camera A) predict (−1e7, −1e7), excluding those candidates."""
+    from ..core.camera import ned_quat_to_rt
+
+    R_b, t_b = ned_quat_to_rt(cam_b[:3], cam_b[3:7])
+    R_a, t_a = ned_quat_to_rt(cam_a[:3], cam_a[3:7])
+    Kinv = jnp.linalg.inv(K)
+    ones = jnp.ones((uv_b.shape[0], 1), uv_b.dtype)
+    dirs_ned = (jnp.concatenate([uv_b, ones], axis=1) @ Kinv.T) @ R_b
+    c = cam_b[:3]
+    # ground must sit below camera B (reference matcher.py:421-422)
+    gz = jnp.maximum(ground_z, c[2] + 2.0)
+    dz = dirs_ned[:, 2]
+    s = (gz - c[2]) / jnp.where(jnp.abs(dz) < 1e-9, 1e-9, dz)
+    p = c[None, :] + s[:, None] * dirs_ned
+    pc = p @ R_a.T + t_a[None, :]
+    uvh = pc @ K.T
+    w = uvh[:, 2]
+    pred = uvh[:, :2] / jnp.where(jnp.abs(w[:, None]) < 1e-6, 1e-6,
+                                  w[:, None])
+    valid = (s > 0) & (w > 0.5)
+    return jnp.where(valid[:, None], pred, jnp.float32(-1e7))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("transform", "n_hyp", "use_pallas",
+                                    "bf16", "gate_radius"))
+def match_pair_batch_gated(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
+                           cam_a, cam_b, ground_z, ratio=0.75, thresh=3.0,
+                           transform="homography", n_hyp=512,
+                           use_pallas=False, bf16=True, gate_radius=300.0):
+    """Smart-strategy matching: like match_pair_batch, but 2-NN candidates
+    are restricted to gate_radius px around the ground-projected prior
+    (cam_a/cam_b (B, 7) ned+quat poses, ground_z (B,) NED-z of the surface
+    prior under the pair). Packed int16 result like match_pair_batch_packed.
+
+    This is the TPU-native form of the reference's smart_pair_matches
+    (matcher.py:358-593): where the reference scores k=3 candidates by
+    projected distance and refines through distance-binned homography
+    RANSAC loops, the position prior here masks the candidate set inside
+    the 2-NN kernel itself — the ratio test then compares only spatially
+    plausible candidates, which is what disambiguates repetitive texture
+    (the marquee robustness claim, README.md:54-58)."""
+    def one(da, db, ua, ub, na, nb, key, ca, cb, gz):
+        pred = _predict_uv_in_a(ub, ca, cb, gz, K)
+        best_j, ok = knn.match_pair_dense(
+            da, db, na, nb, ratio=ratio, mutual=True, use_pallas=use_pallas,
+            bf16=bf16, gate_uv_a=ua, gate_pred_b=pred,
+            gate_radius=gate_radius)
+        pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+        if transform == "homography":
+            res = ransac.ransac_homography(key, ua, pb, ok, thresh=thresh,
+                                           n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        elif transform == "fundamental":
+            res = ransac.ransac_fundamental(key, ua, pb, ok, thresh=thresh,
+                                            n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        elif transform == "essential":
+            res = ransac.ransac_essential(key, ua, pb, ok, K, thresh=thresh,
+                                          n_hyp=n_hyp)
+            ok = ok & res.inliers & res.ok
+        return best_j, ok
+
+    best_j, ok = jax.vmap(one)(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys,
+                               cam_a, cam_b, ground_z)
+    return jnp.where(ok, best_j, -1).astype(jnp.int16)
+
+
 class BatchMatcher:
     """Host orchestration: pack pair batches, run the device call, unpack.
 
@@ -116,18 +196,31 @@ class BatchMatcher:
     a resident device DescriptorStore (match/store.py) with device-side
     gathers — the mission-scale path (no descriptor uploads per pair)."""
 
-    def __init__(self, proj, config: MatchConfig, use_store=None):
+    def __init__(self, proj, config: MatchConfig, use_store=None,
+                 smart_state=None):
         self.proj = proj
         self.config = config
         cam = proj.camera_model()
         self.K = cam.K
         w = int(proj.camera.get("width_px", 0)) or 4000
+        h = int(proj.camera.get("height_px", 0)) or 3000
         # reference geometric-filter tolerance: w^0.25 px (matcher.py:119-121)
         self.thresh = (config.filter_thresh if config.filter_thresh
                        else float(w) ** 0.25)
         self.key = jax.random.PRNGKey(config.seed)
         if config.use_pallas is None:
             config.use_pallas = jax.default_backend() == "tpu"
+        self.smart = smart_state
+        self.gated = (config.strategy == "smart" and smart_state is not None
+                      and config.gate_radius_frac > 0)
+        self.gate_radius = config.gate_radius_frac * float(np.hypot(w, h))
+        self._poses = None
+        if self.gated:
+            poses = []
+            for im in proj.image_list:
+                ned, _, quat = im.get_camera_pose()
+                poses.append(np.r_[np.asarray(ned), np.asarray(quat)])
+            self._poses = np.asarray(poses, np.float32)
         self.store = None
         if use_store is None:
             use_store = len(proj.image_list) >= 64
@@ -142,6 +235,18 @@ class BatchMatcher:
             if DescriptorStore.fits(len(proj.image_list), npad):
                 self.store = DescriptorStore(proj)
 
+    def _pair_gate_arrays(self, chunk, B):
+        """(cam_a (B,7), cam_b (B,7), ground_z (B,)) for a pair chunk: poses
+        from the table, surface prior per pair from the smart state (SRTM
+        fallback inside get_surface), as NED z = −elevation."""
+        idx = np.zeros((B, 2), np.int64)
+        idx[: len(chunk)] = chunk
+        gz = np.zeros(B, np.float32)
+        for bi, (i, j) in enumerate(chunk):
+            i1, i2 = self.proj.image_list[i], self.proj.image_list[j]
+            gz[bi] = -float(self.smart.get_surface(i1.name, i2.name))
+        return (self._poses[idx[:, 0]], self._poses[idx[:, 1]], gz)
+
     def _prepare(self, image):
         if image.kp is None:
             image.load_features()
@@ -155,15 +260,27 @@ class BatchMatcher:
         return "none" if self.config.transform == "essential5" else \
             self.config.transform
 
-    def _dispatch(self, desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, bf16):
+    def _dispatch(self, desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, bf16,
+                  gate=None):
         """Launch one padded pair batch on device; returns the DEVICE array
         (download deferred so callers can overlap compute with unpacking).
 
-        int16 packing holds only for npad < 32768 — beyond that (an uncapped
-        SIFT run on a huge image) fall back to the int32 path and pack on
-        the host, instead of silently wrapping indices negative."""
+        gate = (cam_a, cam_b, ground_z) host arrays → the spatially-gated
+        smart path. int16 packing holds only for npad < 32768 — beyond that
+        (an uncapped SIFT run on a huge image) fall back to the int32 path
+        and pack on the host, instead of silently wrapping indices
+        negative; gating needs the packed-key kernel (npad ≤ 8192)."""
         cfg = self.config
         npad = desc_a.shape[1]
+        if gate is not None and (npad <= 8192 or not cfg.use_pallas):
+            cam_a, cam_b, gz = gate
+            return match_pair_batch_gated(
+                desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
+                jnp.asarray(cam_a), jnp.asarray(cam_b), jnp.asarray(gz),
+                ratio=cfg.ratio, thresh=self.thresh,
+                transform=self._dev_transform(), n_hyp=cfg.n_hyp,
+                use_pallas=cfg.use_pallas, bf16=bf16,
+                gate_radius=float(self.gate_radius))
         if npad < 32768:
             return match_pair_batch_packed(
                 desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, self.K,
@@ -201,9 +318,29 @@ class BatchMatcher:
 
     def match_pairs(self, pairs, progress=True):
         """pairs: list of (i, j) image indices. Fills image.match_list both
-        directions like the reference (matcher.py:975-985)."""
+        directions like the reference (matcher.py:975-985).
+
+        Gated (smart) matching retries pairs that yielded nothing through
+        the ungated path: a wrong surface/yaw prior can gate out the true
+        correspondences, and pure ratio matching is the strictly-weaker
+        fallback (mirrors the reference where smart_pair_matches' failure
+        leaves the pair for the other strategies)."""
+        n = self._match_pairs_impl(pairs, progress, gated=self.gated)
+        if self.gated:
+            il = self.proj.image_list
+            failed = [(i, j) for i, j in pairs
+                      if not il[i].match_list.get(il[j].name)]
+            if failed:
+                qlog(f"gated matching came up empty for {len(failed)} pairs;"
+                     " retrying ungated")
+                n += self._match_pairs_impl(failed, progress=False,
+                                            gated=False)
+        return n
+
+    def _match_pairs_impl(self, pairs, progress=True, gated=False):
         if self.store is not None:
-            return self._match_pairs_store(pairs, progress=progress)
+            return self._match_pairs_store(pairs, progress=progress,
+                                           gated=gated)
         cfg = self.config
         images = self.proj.image_list
         npad = 256
@@ -252,16 +389,18 @@ class BatchMatcher:
                 n_a[bi], n_b[bi] = na, nb
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
+            gate = self._pair_gate_arrays(chunk, B) if gated else None
             packed = self._dispatch(
                 jnp.asarray(desc_a), jnp.asarray(desc_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
-                jnp.asarray(n_a), jnp.asarray(n_b), keys, cfg.bf16)
+                jnp.asarray(n_a), jnp.asarray(n_b), keys, cfg.bf16,
+                gate=gate)
             n_matched += _store_unpack(images, chunk, np.asarray(packed),
                                        self.config.min_pairs,
                                        post_filter=self._post_filter)
         return n_matched
 
-    def _match_pairs_store(self, pairs, progress=True):
+    def _match_pairs_store(self, pairs, progress=True, gated=False):
         """Store path: image indices go to the device; descriptors never
         leave HBM. Chunks are padded to the static batch size with dummy
         (0, 0) pairs whose results are discarded.
@@ -286,7 +425,9 @@ class BatchMatcher:
                           total=(len(pairs) + B - 1) // B)
             except ImportError:
                 pass
-        bf16 = self.store.dtype == "uint8" or cfg.bf16
+        # int8 store: the kernel dispatches on dtype; bf16 only matters for
+        # the uint8/f32 store variants
+        bf16 = self.store.dtype in ("uint8", "int8") or cfg.bf16
         n_matched = 0
         pending = None  # (chunk, device result) awaiting download
         for start in it:
@@ -298,8 +439,9 @@ class BatchMatcher:
             # dummy padding slots match an image against itself; drop below
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
+            gate = self._pair_gate_arrays(chunk, B) if gated else None
             dev = self._dispatch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys,
-                                 bf16)
+                                 bf16, gate=gate)
             if pending is not None:
                 n_matched += _store_unpack(images, pending[0],
                                            np.asarray(pending[1]),
@@ -388,7 +530,7 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
             f"{len(my_todo)}/{len(todo)} pairs")
         todo = my_todo
 
-    matcher = BatchMatcher(proj, config)
+    matcher = BatchMatcher(proj, config, smart_state=smart_state)
     t0 = time.time()
     last_save = t0
     B = config.batch_size * 8

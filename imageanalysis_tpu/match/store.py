@@ -22,7 +22,11 @@ def _round_up(x, m):
 
 
 class DescriptorStore:
-    def __init__(self, proj, images=None, npad=None, dtype="uint8"):
+    def __init__(self, proj, images=None, npad=None, dtype="int8"):
+        """dtype 'int8' stores descriptors as value−128 (SIFT is natively
+        uint8; L2 distances are shift-invariant) so pair matching runs on
+        the int8 MXU with exact integer distances — 2× the bf16 matmul
+        rate. 'uint8' (bf16 matmul) and 'float32' remain for comparison."""
         import jax.numpy as jnp
 
         images = images if images is not None else proj.image_list
@@ -49,10 +53,12 @@ class DescriptorStore:
         # per-image calls cost a dispatch round trip each
         proj.undistort_all_keypoints(images)
 
-        desc = np.zeros((n_img, npad, d),
-                        np.uint8 if dtype == "uint8" else np.float32)
-        if dtype == "uint8":
-            desc[:] = 255  # pad rows far from any real descriptor
+        np_dtype = {"int8": np.int8, "uint8": np.uint8}.get(dtype, np.float32)
+        desc = np.zeros((n_img, npad, d), np_dtype)
+        if dtype == "int8":
+            desc[:] = 127   # = uint8 255 − 128: pad rows far from any real
+        elif dtype == "uint8":
+            desc[:] = 255   # pad rows far from any real descriptor
         else:
             desc[:] = 10000.0
         uv = np.zeros((n_img, npad, 2), np.float32)
@@ -64,7 +70,10 @@ class DescriptorStore:
             k = min(counts[i], npad)
             if k:
                 dsc = im.des[:k]
-                if dtype == "uint8":
+                if dtype == "int8":
+                    dsc = (np.clip(np.round(dsc), 0, 255)
+                           .astype(np.int16) - 128).astype(np.int8)
+                elif dtype == "uint8":
                     dsc = np.clip(np.round(dsc), 0, 255).astype(np.uint8)
                 desc[i, :k] = dsc
                 uv[i, :k] = im.uv_list[:k]
@@ -80,8 +89,10 @@ class DescriptorStore:
             f"({gb:.2f} GB on device)")
 
     def gather(self, idx):
-        """idx: (B,) int array of image indices → (desc (B, npad, d) bf16/f32,
-        uv (B, npad, 2), counts (B,)) — all device-side."""
+        """idx: (B,) int array of image indices → (desc (B, npad, d)
+        int8/bf16/f32, uv (B, npad, 2), counts (B,)) — all device-side.
+        int8 descriptors pass through unchanged (the matcher's int8-MXU
+        kernel consumes them directly)."""
         import jax.numpy as jnp
 
         idx = jnp.asarray(idx, dtype=jnp.int32)

@@ -38,6 +38,21 @@ def make_ground_texture(rng, size=2048, blur=2.0):
     return tex.astype(np.uint8)
 
 
+def make_tiled_texture(rng, size=2048, period=140, blur=1.5):
+    """Periodically repeating ground texture — synthetic 'row crop / forest
+    canopy' (reference README.md:54-58): every feature has a near-identical
+    twin one period away, which collapses pure ratio-test matching and is
+    exactly what the smart strategy's position-prior gating must survive."""
+    import cv2
+
+    cell = rng.uniform(0, 255, (period, period)).astype(np.float32)
+    cell = cv2.GaussianBlur(cell, (0, 0), blur)
+    reps = int(np.ceil(size / period))
+    tex = np.tile(cell, (reps, reps))[:size, :size]
+    tex = cv2.normalize(tex, None, 0, 255, cv2.NORM_MINMAX)
+    return tex.astype(np.uint8)
+
+
 class WorldTexture:
     """Deterministic unbounded ground texture, generated tile by tile.
 
@@ -95,11 +110,13 @@ class SyntheticMission:
     def __init__(self, project_dir, n_images=6, img_size=(800, 600),
                  altitude=100.0, spacing=18.0, fx=700.0, texture_res=0.25,
                  yaw_jitter=3.0, pos_jitter=1.0, seed=7, rows=1,
-                 texture_px=2048, world_tiles=False):
+                 texture_px=2048, world_tiles=False, texture_period=None):
         """texture_res: meters per texture pixel; texture_px: ground-plane
         texture size (raise for large missions so the grid stays on it);
         world_tiles=True switches to the unbounded procedural
-        WorldTexture — required for missions spanning kilometres."""
+        WorldTexture — required for missions spanning kilometres;
+        texture_period: render a periodically tiled texture instead
+        (make_tiled_texture) — repetitive-canopy robustness scenarios."""
         self.project_dir = project_dir
         self.n_images = n_images
         self.w, self.h = img_size
@@ -115,6 +132,7 @@ class SyntheticMission:
         self.rows = rows
         self.texture_px = texture_px
         self.world_tiles = world_tiles
+        self.texture_period = texture_period
         self.poses = []  # (name, ned, aircraft ypr_deg)
 
     def generate(self, skip_existing=False):
@@ -130,7 +148,11 @@ class SyntheticMission:
             tex, S = None, None
         else:
             world = None
-            tex = make_ground_texture(self.rng, size=self.texture_px)
+            if self.texture_period:
+                tex = make_tiled_texture(self.rng, size=self.texture_px,
+                                         period=self.texture_period)
+            else:
+                tex = make_ground_texture(self.rng, size=self.texture_px)
             ts = tex.shape[0]
             # texture pixel (px, py) → world NED (n, e, 0): center it
             res = self.texture_res

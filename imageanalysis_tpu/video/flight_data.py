@@ -187,3 +187,99 @@ def load_feature_ned(matches_path, proj_ref_lla, extern_ref_lla):
     return np.asarray(geodesy.lla2ned(lla[:, 0], lla[:, 1], lla[:, 2],
                                       *extern_ref_lla)).T \
         if np.asarray(lla).ndim == 2 else pts
+
+
+class FlightLog:
+    """Generic time-indexed flight log → per-frame HUD state.
+
+    The reference's HUD driver loads aura flight logs through the external
+    aurauas_flightdata package and builds per-frame interpolators
+    (video/2-gen-hud-overlay.py:86-187). This covers the same role for CSV
+    exports: columns are sniffed case-insensitively — time/t/timestamp,
+    lat/latitude, lon/longitude, alt (m MSL), roll/pitch/yaw (deg), and
+    optionally vn/ve/vd (m/s) and airspeed. pix4d.csv-style headers
+    ("Lat (decimal degrees)", …) are accepted too. Velocities fall back to
+    finite differences of the NED track.
+    """
+
+    _ALIASES = {
+        "time": ("time", "t", "timestamp", "unix_sec", "time (s)"),
+        "lat": ("lat", "latitude", "lat (decimal degrees)"),
+        "lon": ("lon", "longitude", "lon (decimal degrees)"),
+        "alt": ("alt", "altitude", "alt_m", "alt (meters msl)",
+                "altitude [m]"),
+        "roll": ("roll", "roll (decimal degrees)", "roll_deg"),
+        "pitch": ("pitch", "pitch (decimal degrees)", "pitch_deg"),
+        "yaw": ("yaw", "yaw (decimal degrees)", "yaw_deg", "heading"),
+        "vn": ("vn", "vel_n", "vn (m/s)"),
+        "ve": ("ve", "vel_e", "ve (m/s)"),
+        "vd": ("vd", "vel_d", "vd (m/s)"),
+        "airspeed": ("airspeed", "airspeed (m/s)", "ias"),
+    }
+
+    def __init__(self, path=None):
+        self.cols = {}
+        if path:
+            self.load(path)
+
+    def load(self, path):
+        raw = _read_csv_columns(path)
+        lower = {k.strip().lower(): v for k, v in raw.items()}
+        for canon, names in self._ALIASES.items():
+            for nm in names:
+                if nm in lower:
+                    self.cols[canon] = lower[nm]
+                    break
+        missing = [k for k in ("time", "lat", "lon", "alt", "roll", "pitch",
+                               "yaw") if k not in self.cols]
+        if missing:
+            raise ValueError(f"flight log {path} missing columns: {missing}")
+        order = np.argsort(self.cols["time"])
+        self.cols = {k: v[order] for k, v in self.cols.items()}
+        return self
+
+    @property
+    def t(self):
+        return self.cols["time"]
+
+    def ref_lla(self):
+        return (float(self.cols["lat"][0]), float(self.cols["lon"][0]), 0.0)
+
+    def state_fn(self, ref_lla=None, time_shift=0.0):
+        """fn(movie_time_s) → HUD state dict; flight time = movie time +
+        time_shift (the correlate.sync_clocks convention)."""
+        from ..core import geodesy
+        from ..core.rotations import quat_from_ypr
+
+        ref = ref_lla or self.ref_lla()
+        ned = np.asarray(geodesy.lla2ned(self.cols["lat"], self.cols["lon"],
+                                         self.cols["alt"], *ref), float)
+        if ned.shape[0] == 3 and ned.shape[0] != len(self.t):
+            ned = ned.T
+        t = self.t - self.t[0]
+        if all(k in self.cols for k in ("vn", "ve", "vd")):
+            vel = np.c_[self.cols["vn"], self.cols["ve"], self.cols["vd"]]
+        else:
+            dt = np.gradient(t)
+            dt[dt <= 0] = 1.0
+            vel = np.gradient(ned, axis=0) / dt[:, None]
+        airspeed = self.cols.get("airspeed",
+                                 np.linalg.norm(vel[:, :2], axis=1))
+        # yaw interpolates through wrap via unwrapped radians
+        yaw_u = np.unwrap(np.radians(self.cols["yaw"]))
+
+        def fn(movie_t):
+            ft = movie_t + time_shift
+            p = np.array([np.interp(ft, t, ned[:, k]) for k in range(3)])
+            v = np.array([np.interp(ft, t, vel[:, k]) for k in range(3)])
+            ypr = (np.degrees(np.interp(ft, t, yaw_u)) % 360.0,
+                   np.interp(ft, t, self.cols["pitch"]),
+                   np.interp(ft, t, self.cols["roll"]))
+            q = np.asarray(quat_from_ypr(np.radians(ypr[0]),
+                                         np.radians(ypr[1]),
+                                         np.radians(ypr[2])))
+            return dict(ned=p, quat=q, ypr_deg=ypr, vel_ned=v,
+                        airspeed=float(np.interp(ft, t, airspeed)),
+                        altitude=float(np.interp(ft, t, self.cols["alt"])))
+
+        return fn

@@ -93,3 +93,75 @@ def test_padded_rows_never_match(rng):
     ok = np.asarray(ok)
     assert not ok[100:].any()
     assert np.all(np.asarray(best_j)[ok] < 120)
+
+
+def test_knn_int8_matches_f32_oracle(rng):
+    """The int8-MXU packed kernel path (uint8 SIFT descriptors stored as
+    value−128) computes EXACT integer distances: indices must match the f32
+    oracle and decoded distances must agree to the 13-bit packing
+    truncation."""
+    a8 = rng.integers(0, 256, (512, 128)).astype(np.uint8)
+    b8 = rng.integers(0, 256, (768, 128)).astype(np.uint8)
+    b8[:100] = np.clip(a8[:100].astype(int)
+                       + rng.integers(-3, 4, (100, 128)), 0, 255)
+    ai = jnp.asarray((a8.astype(np.int16) - 128).astype(np.int8))
+    bi = jnp.asarray((b8.astype(np.int16) - 128).astype(np.int8))
+    af = jnp.asarray(a8.astype(np.float32))
+    bf_ = jnp.asarray(b8.astype(np.float32))
+    rd_i, ri_i, cd_i, ci_i = knn.knn_top2(ai, bi)
+    rd_r, ri_r, cd_r, ci_r = knn.knn_top2_ref(af, bf_, bf16=False)
+    d2 = (np.sum(a8.astype(np.float64) ** 2, 1)[:, None]
+          + np.sum(b8.astype(np.float64) ** 2, 1)[None, :]
+          - 2.0 * a8.astype(np.float64) @ b8.astype(np.float64).T)
+    _indices_equal_modulo_ties(ri_i, ri_r, d2)
+    _indices_equal_modulo_ties(np.asarray(ci_i)[:, None],
+                               np.asarray(ci_r)[:, None], d2.T)
+    np.testing.assert_allclose(np.asarray(rd_i), np.asarray(rd_r),
+                               rtol=2.0 ** -9, atol=1e-2)
+    # the int8 path threads through match_pair_dense unchanged
+    bj_i, ok_i = knn.match_pair_dense(ai, bi, 512, 768)
+    bj_f, ok_f = knn.match_pair_dense(af, bf_, 512, 768, bf16=False)
+    agree = np.asarray(ok_i) == np.asarray(ok_f)
+    assert np.mean(agree) > 0.98  # ratio-test edge ties only
+    both = np.asarray(ok_i) & np.asarray(ok_f)
+    assert np.array_equal(np.asarray(bj_i)[both], np.asarray(bj_f)[both])
+
+
+def test_knn_gated_disambiguates_twins(rng):
+    """Spatial gating: plant TWIN descriptor pairs (identical up to noise)
+    so the ratio test alone rejects every match; the position prior must
+    disambiguate and recover the true correspondences — the smart-strategy
+    repetitive-texture mechanism at kernel level."""
+    n, d = 256, 128
+    base = rng.integers(0, 200, (n // 2, d))
+    noise = lambda: rng.integers(-2, 3, (n // 2, d))
+    a8 = np.clip(np.concatenate([base + noise(), base + noise()]), 0, 255)
+    b8 = np.clip(np.concatenate([base + noise(), base + noise()]), 0, 255)
+    ai = jnp.asarray((a8 - 128).astype(np.int8))
+    bi = jnp.asarray((b8 - 128).astype(np.int8))
+    # geometry: copy k sits at x = 100 + 500·(k // half); b's predicted
+    # position in a equals a's true position (perfect prior)
+    uv_a = np.zeros((n, 2), np.float32)
+    uv_a[:, 0] = 100.0 + 500.0 * (np.arange(n) >= n // 2)
+    uv_a[:, 1] = np.tile(np.arange(n // 2) * 3.0, 2)
+    pred_b = uv_a.copy()
+
+    # ungated: twins make d1 ≈ d2 → ratio test kills (almost) everything
+    _, ok_plain = knn.match_pair_dense(ai, bi, n, n)
+    assert np.asarray(ok_plain).sum() < 0.1 * n
+
+    # gated at 50 px (twins are 500 px apart): full recovery
+    bj, ok = knn.match_pair_dense(ai, bi, n, n, gate_uv_a=jnp.asarray(uv_a),
+                                  gate_pred_b=jnp.asarray(pred_b),
+                                  gate_radius=50.0)
+    bj, ok = np.asarray(bj), np.asarray(ok)
+    assert ok.sum() > 0.9 * n
+    assert np.array_equal(bj[ok], np.arange(n)[ok])
+
+    # pallas and ref gated paths agree
+    bj_r, ok_r = knn.match_pair_dense(ai, bi, n, n, use_pallas=False,
+                                      gate_uv_a=jnp.asarray(uv_a),
+                                      gate_pred_b=jnp.asarray(pred_b),
+                                      gate_radius=50.0)
+    assert np.array_equal(ok, np.asarray(ok_r))
+    assert np.array_equal(bj[ok], np.asarray(bj_r)[ok])

@@ -334,6 +334,63 @@ def test_smart_recovers_where_traditional_degrades(tmp_path):
         f"traditional={err_trad:.2f} m smart={err_smart:.2f} m")
 
 
+def test_gated_smart_recovers_repetitive_texture(tmp_path):
+    """Tiled-canopy scene (reference README.md:54-58, README-DataSets.md:6-12
+    — the datasets 'pix4d is unable to stitch'): the ground texture repeats
+    every 35 m, so nearly every SIFT descriptor has a near-identical twin
+    one period away and pure ratio-test matching collapses. The smart
+    strategy's ground-projected candidate gating (matcher.py
+    match_pair_batch_gated — the reference's smart_pair_matches seeding,
+    scripts/lib/matcher.py:358-593) excludes the spatially implausible
+    twins BEFORE the ratio test and recovers the pair graph + cameras."""
+    import numpy as np
+
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    def run(strategy):
+        proj_dir = str(tmp_path / f"rep_{strategy}")
+        # period 140 px × 0.25 m/px = 35 m ⇒ twins sit ~245 px apart in
+        # image space, outside the 0.2·diag = 160 px gate
+        m = SyntheticMission(proj_dir, n_images=5, img_size=(640, 480),
+                             altitude=100.0, spacing=12.0, yaw_jitter=0.0,
+                             pos_jitter=0.3, seed=11, texture_period=140)
+        m.generate()
+        db = str(tmp_path / "cams")
+        camera_db.save("Synthetic_TestCam_none", m.camera_config(), db)
+        rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
+                           "--camera-db", db, "--scale", "1.0",
+                           "--ground", "0.0", "--batch-size", "2",
+                           "--min-chain-len", "2",
+                           "--match-strategy", strategy])
+        proj = ProjectMgr(proj_dir)
+        proj.load_images_info()
+        n_matches = 0
+        for im in proj.image_list:
+            im.load_matches()
+            n_matches += sum(len(v) for v in im.match_list.values())
+        if rc != 0:
+            return rc, n_matches, np.inf
+        ref = proj.ned_reference_lla()
+        true_ned = m.true_camera_ned(ref)
+        errs = [np.linalg.norm(
+            np.array(im.get_camera_pose(opt=im.has_opt_pose())[0])
+            - true_ned[i]) for i, im in enumerate(proj.image_list)]
+        return rc, n_matches, float(np.mean(errs))
+
+    rc_t, match_t, err_t = run("traditional")
+    rc_s, match_s, err_s = run("smart")
+    assert rc_s == 0, "smart pipeline failed on repetitive texture"
+    assert err_s < 0.8, f"smart failed to recover cameras: {err_s:.2f} m"
+    # the ratio test must have collapsed the ungated graph: either the
+    # pipeline died (no structure) or the match yield is a fraction of the
+    # gated one / the solution is far worse
+    assert (rc_t != 0 or match_t < 0.5 * match_s
+            or err_t > 2.0 * err_s), (rc_t, match_t, match_s, err_t, err_s)
+
+
 def test_pair_surface_stats_empty_pairs():
     """A mission where matching found nothing must not crash the smart
     requalification (regression: empty pair list reached the batched
