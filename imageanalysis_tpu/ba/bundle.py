@@ -607,7 +607,7 @@ def reweight_huber(cams, pts, obs, K, dist, delta_px=4.0):
 
 
 def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True,
-          log_fn=print, huber_px=None, irls_rounds=2):
+          log_fn=print, huber_px=None, irls_rounds=2, dtype=None):
     """LM outer loop (host-driven; every inner computation is one jitted call).
 
     cams0: (n_cam, 7) [ned(3), quat(4)]; pts0: (n_pt, 3); obs: BAObservations.
@@ -615,6 +615,10 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
     convergences, observations are Huber-reweighted at that scale and the
     solve continues. Returns BAResult. Logs mre/std/max per improving
     iteration like the reference (optimizer.py:249-252).
+
+    dtype: f32 default (the TPU production path); pass jnp.float64 (with
+    jax_enable_x64, CPU) for the conditioning oracle — see
+    scripts_dev/ba_f64_oracle.py.
     """
     if huber_px is not None:
         cams, pts = cams0, pts0
@@ -622,13 +626,14 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
         result = None
         for _ in range(irls_rounds + 1):
             result = solve(cams, pts, obs_w, K, dist, config, verbose=verbose,
-                           log_fn=log_fn)
+                           log_fn=log_fn, dtype=dtype)
             cams, pts = result.cams, result.pts
             obs_w = reweight_huber(jnp.asarray(cams), jnp.asarray(pts), obs,
                                    K, dist, delta_px=huber_px)
         return result
-    cams = jnp.asarray(cams0, dtype=jnp.float32)
-    pts = jnp.asarray(pts0, dtype=jnp.float32)
+    dtype = dtype or jnp.float32
+    cams = jnp.asarray(cams0, dtype=dtype)
+    pts = jnp.asarray(pts0, dtype=dtype)
     n_cam, n_pt = cams.shape[0], pts.shape[0]
     ned0 = cams[:, :3]
     lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
@@ -650,7 +655,7 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
         jac = lm_jacobians(cams, pts, obs, K, dist, n_cam, n_pt)
         for _ in range(config.max_retries):
             dc, dp, pred_dec = lm_solve(jac, obs.cam_idx, obs.pt_idx,
-                                        jnp.float32(lam),
+                                        jnp.asarray(lam, dtype),
                                         cg_iters=config.cg_iters,
                                         cg_tol=config.cg_tol)
             cams_new = cams + dc

@@ -80,13 +80,17 @@ print(f"proc {pid}: ba_step dc_norm={np.linalg.norm(dc_host):.6f}", flush=True)
 # distributed pair matching over a shared project dir (optional arg):
 # each rank matches its slice of the work list; rank 0 merges the shards
 if len(sys.argv) > 2 and sys.argv[1] == "--process":
-    # full multi-host pipeline: the same process.main command on every rank
+    # full multi-host pipeline: the same process.main command on every rank;
+    # optional 4th arg selects the match strategy (smart exercises the
+    # per-rank SmartState evidence shards + rank-0 merge + yaw correction)
     from imageanalysis_tpu.apps import process
 
+    strategy = sys.argv[4] if len(sys.argv) > 4 else "traditional"
     rc = process.main([sys.argv[2], "--camera", "Synthetic_TestCam_none",
                        "--camera-db", sys.argv[3], "--scale", "1.0",
                        "--ground", "0.0", "--batch-size", "4",
-                       "--min-chain-len", "2"])
+                       "--min-chain-len", "2",
+                       "--match-strategy", strategy])
     assert rc == 0, rc
     print(f"proc {pid}: pipeline rc={rc}", flush=True)
 elif len(sys.argv) > 1:

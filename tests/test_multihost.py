@@ -123,6 +123,96 @@ def test_two_process_distributed_matching(tmp_path):
     assert not os.listdir(shard_dir) if os.path.isdir(shard_dir) else True
 
 
+def test_two_process_smart_strategy_matches_single(tmp_path):
+    """Multi-host `--match-strategy smart` with a planted +20° heading bias:
+    per-rank SmartState evidence shards must merge (matcher.py
+    _merge_multihost_matches) so rank 0's yaw correction sees EVERY rank's
+    pair evidence — the run must recover the cameras like the single-process
+    smart run does (closes the r2 comment-only guarantee / ADVICE medium)."""
+    import json
+
+    import numpy as np
+
+    from imageanalysis_tpu.apps import process
+    from imageanalysis_tpu.io import camera_db
+    from imageanalysis_tpu.io.project import ProjectMgr
+    from imageanalysis_tpu.testing.synthetic import SyntheticMission
+
+    def make_mission(sub):
+        proj_dir = str(tmp_path / sub)
+        m = SyntheticMission(proj_dir, n_images=6, img_size=(640, 480),
+                             altitude=90.0, spacing=12.0, yaw_jitter=0.0,
+                             seed=9)
+        m.generate()
+        pix4d = os.path.join(proj_dir, "pix4d.csv")
+        with open(pix4d) as f:
+            lines = f.read().splitlines()
+        out = [lines[0]]
+        for ln in lines[1:]:
+            fields = ln.split(",")
+            fields[6] = "%.2f" % (float(fields[6]) + 20.0)
+            out.append(",".join(fields))
+        with open(pix4d, "w") as f:
+            f.write("\n".join(out) + "\n")
+        return proj_dir, m
+
+    db = str(tmp_path / "cams")
+
+    def cam_err(proj_dir, m):
+        proj = ProjectMgr(proj_dir)
+        proj.load_images_info()
+        ref = proj.ned_reference_lla()
+        true_ned = m.true_camera_ned(ref)
+        return float(np.mean([np.linalg.norm(
+            np.array(im.get_camera_pose(opt=im.has_opt_pose())[0])
+            - true_ned[i]) for i, im in enumerate(proj.image_list)]))
+
+    # single-process smart reference run
+    dir_single, m_single = make_mission("single")
+    camera_db.save("Synthetic_TestCam_none", m_single.camera_config(), db)
+    rc = process.main([dir_single, "--camera", "Synthetic_TestCam_none",
+                       "--camera-db", db, "--scale", "1.0", "--ground",
+                       "0.0", "--batch-size", "4", "--min-chain-len", "2",
+                       "--match-strategy", "smart"])
+    assert rc == 0
+    err_single = cam_err(dir_single, m_single)
+
+    # identical mission, 2-process smart run
+    dir_multi, m_multi = make_mission("multi")
+    port = _free_port()
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_COORDINATOR"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, CHILD, "--process", dir_multi, db, "smart"],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+        assert "pipeline rc=0" in out
+    err_multi = cam_err(dir_multi, m_multi)
+
+    # both runs recover through the yaw correction; multi-host must not be
+    # meaningfully worse than single (evidence merged, not rank-0-only)
+    assert err_single < 0.6, err_single
+    assert err_multi < max(0.6, 1.5 * err_single), (err_multi, err_single)
+
+    # the merged smart.json carries yaw evidence near the planted −20°
+    with open(os.path.join(dir_multi, "ImageAnalysis", "smart.json")) as f:
+        smart = json.load(f)
+    yaws = [n["yaw_error"] for n in smart.values() if "yaw_error" in n]
+    assert yaws, "no yaw evidence survived the multi-host merge"
+    assert abs(np.median(yaws) + 20.0) < 6.0, yaws
+
+
 def test_two_process_full_pipeline(tmp_path):
     """The SAME `process` command on 2 ranks runs the whole pipeline
     multi-host: rank-0 host stages, sharded detection + matching, BA on

@@ -244,3 +244,43 @@ def test_utils_capture_dates_and_wx(util_mission, capsys, monkeypatch,
     monkeypatch.setenv("HOME", str(tmp_path))
     rc = utils.main(["wx-report", util_mission])
     assert rc in (0, 1)
+
+
+def test_review_session_keyboard_triage(util_mission):
+    """The d/q keyboard triage (reference 3e-review-matches.py,
+    4b-mre-by-image --interactive) driven headless via an injected key
+    script: 'd' on the first (weakest) pair removes its matches from the
+    .match files; 'q' leaves the rest untouched."""
+    from imageanalysis_tpu.apps import inspect as insp
+    from imageanalysis_tpu.io.project import ProjectMgr
+
+    proj = ProjectMgr(util_mission)
+    proj.load_images_info()
+    sess = insp.ReviewSession(proj, mode="pairs")
+    assert len(sess.items) >= 2
+    # weakest-first ordering
+    counts = [len(i1.match_list.get(i2.name, [])) for i1, i2 in sess.items]
+    assert counts == sorted(counts)
+    first = sess.items[0]
+    n_before = counts[0]
+    assert n_before > 0
+    assert sess.handle_key("d") is True      # drop weakest, continue
+    assert sess.handle_key("q") is False     # quit
+    n_removed = sess.apply()
+    assert n_removed == n_before
+    # the decision persisted to the .match files
+    proj2 = ProjectMgr(util_mission)
+    proj2.load_images_info()
+    i1 = proj2.image_by_name(first[0].name)
+    i1.load_matches()
+    assert i1.match_list.get(first[1].name, []) == []
+    # survivors untouched
+    other = sess.items[1]
+    o1 = proj2.image_by_name(other[0].name)
+    o1.load_matches()
+    assert len(o1.match_list.get(other[1].name, [])) > 0
+
+    # by-image mode through the CLI with a scripted key sequence: 'q'
+    # immediately → nothing else deleted
+    assert insp.main(["review", util_mission, "--by-image",
+                      "--keys", "q"]) == 0
