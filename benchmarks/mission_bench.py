@@ -189,7 +189,31 @@ def main(argv=None):
     # wildcard (scales superlinearly) — report it separately, do not hide it
     scale_f = 2812.0 / args.n_images
     est_2812_1chip = (detect_s + match_s) * scale_f + ba_s * scale_f
-    est_2812_8chip = est_2812_1chip / 8.0
+
+    # 8-chip estimate: parallel stages (detect/match/BA/render — all
+    # process-sharded in apps/process.py) divide by 8 and pay the MEASURED
+    # multi-process overhead factor from benchmarks/scaling_bench.py when
+    # its committed result exists; rank-0-serial host stages (matcher init,
+    # requalify, link, triangulate, groups) do not divide at all. This
+    # replaces r2's bare ÷8 (which also silently dropped the host stages).
+    overhead = 1.0
+    scaling_src = None
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, os.pardir, "BENCH_scaling.json")) as f:
+            sc = json.load(f)
+        overhead = float(sc.get("measured_overhead_factor", 1.0))
+        scaling_src = {"ranks": sc.get("ranks"),
+                       "n_images": sc.get("n_images"),
+                       "measured_overhead_factor": overhead}
+    except (OSError, ValueError):
+        pass
+    serial_s = sum(times.get(k, 0.0) for k in
+                   ("matcher_init", "requalify", "link", "triangulate",
+                    "groups"))
+    render_s_ = times.get("render", 0.0)
+    par_s = detect_s + match_s + ba_s + render_s_
+    est_2812_8chip = (par_s / 8.0 * overhead + serial_s) * scale_f
 
     result = {
         "n_images": args.n_images,
@@ -220,6 +244,13 @@ def main(argv=None):
         "cam_pos_err_max_m": round(float(err.max()), 3),
         "extrapolated_2812img_1chip_s": round(est_2812_1chip, 0),
         "extrapolated_2812img_8chip_s": round(est_2812_8chip, 0),
+        "extrapolation_8chip_model": {
+            "parallel_s_1chip": round(par_s, 1),
+            "serial_host_s": round(serial_s, 1),
+            "overhead_factor": overhead,
+            "from_scaling_bench": scaling_src,
+            "formula": "(parallel/8*overhead + serial) * (2812/n)",
+        },
         "target_s": 600.0,
         "meets_target_8chip": bool(est_2812_8chip <= 600.0),
     }
