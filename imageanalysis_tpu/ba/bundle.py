@@ -120,11 +120,16 @@ def _per_obs_jacobians_1d(cams, pts, obs, K, dist):
     return Jc, Jp, r
 
 
-def _seg(x, idx, num):
-    return jax.ops.segment_sum(x, idx, num_segments=num)
+def _seg(x, idx, num, sorted_idx=False):
+    # indices_are_sorted lets XLA lower the reduction without a general
+    # scatter; obs from ba/setup.py are chain-ordered so pt_idx is sorted
+    # (solve() verifies on the host before claiming it)
+    return jax.ops.segment_sum(x, idx, num_segments=num,
+                               indices_are_sorted=sorted_idx)
 
 
-def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt):
+def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt,
+                      pt_sorted=False):
     """The λ-independent half of the LM step: per-observation jacobians,
     gradients, and undamped normal-equation blocks. Computed ONCE per outer
     LM iteration and reused across λ retries by lm_solve — the 10
@@ -141,7 +146,7 @@ def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt):
         return _seg(x, cam_idx, n_cam)
 
     def segp(x):
-        return _seg(x, pt_idx, n_pt)
+        return _seg(x, pt_idx, n_pt, sorted_idx=pt_sorted)
 
     # gradients: g_c (n_cam, 7) dense; g_p as 3 × (n_pt,)
     g_c = jnp.stack([segc(Jc[0][j] * r[0] + Jc[1][j] * r[1])
@@ -160,7 +165,8 @@ def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt):
             tuple(r), g_c, g_p, Hcc, hpp)
 
 
-def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3):
+def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
+                  pt_sorted=False):
     """The per-λ half of the LM step: damp the precomputed blocks, solve the
     camera-reduced (Schur) system with PCG, back-substitute points.
 
@@ -180,7 +186,7 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3):
         return _seg(x, cam_idx, n_cam)
 
     def segp(x):
-        return _seg(x, pt_idx, n_pt)
+        return _seg(x, pt_idx, n_pt, sorted_idx=pt_sorted)
 
     eye7 = jnp.eye(7, dtype=g_c.dtype)
     dc = jnp.einsum("cii->ci", Hcc)
@@ -289,21 +295,25 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3):
 
 
 def lm_step_impl(cams, pts, obs, K, dist, lam, n_cam, n_pt, cg_iters=40,
-                 cg_tol=1e-3):
+                 cg_tol=1e-3, pt_sorted=False):
     """One damped Gauss–Newton step: jacobian precompute + damped solve in a
     single graph (kept for one-shot callers; solve() calls the two halves
     separately so λ retries reuse the jacobians)."""
-    jac = lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt)
+    jac = lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt,
+                            pt_sorted=pt_sorted)
     return lm_solve_impl(jac, obs.cam_idx, obs.pt_idx, lam,
-                         cg_iters=cg_iters, cg_tol=cg_tol)
+                         cg_iters=cg_iters, cg_tol=cg_tol,
+                         pt_sorted=pt_sorted)
 
 
-lm_step = functools.partial(jax.jit, static_argnames=("n_cam", "n_pt",
-                                                      "cg_iters", "cg_tol"))(lm_step_impl)
+lm_step = functools.partial(
+    jax.jit, static_argnames=("n_cam", "n_pt", "cg_iters", "cg_tol",
+                              "pt_sorted"))(lm_step_impl)
 lm_jacobians = functools.partial(
-    jax.jit, static_argnames=("n_cam", "n_pt"))(lm_jacobians_impl)
+    jax.jit, static_argnames=("n_cam", "n_pt", "pt_sorted"))(lm_jacobians_impl)
 lm_solve = functools.partial(
-    jax.jit, static_argnames=("cg_iters", "cg_tol"))(lm_solve_impl)
+    jax.jit, static_argnames=("cg_iters", "cg_tol",
+                              "pt_sorted"))(lm_solve_impl)
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +651,8 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
 
     lam = config.lam0
     nu = 2.0
+    # chain-ordered setups give sorted pt_idx → scatter-free segment sums
+    pt_sorted = bool(np.all(np.diff(np.asarray(obs.pt_idx)) >= 0))
     cost, mre, mx = ba_cost(cams, pts, obs, K, dist)
     cost = float(cost)
     history = [cost]
@@ -652,12 +664,14 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
         accepted = False
         # jacobians (10 whole-batch JVPs — the dominant cost at mission
         # scale) don't depend on λ: compute once, reuse across retries
-        jac = lm_jacobians(cams, pts, obs, K, dist, n_cam, n_pt)
+        jac = lm_jacobians(cams, pts, obs, K, dist, n_cam, n_pt,
+                           pt_sorted=pt_sorted)
         for _ in range(config.max_retries):
             dc, dp, pred_dec = lm_solve(jac, obs.cam_idx, obs.pt_idx,
                                         jnp.asarray(lam, dtype),
                                         cg_iters=config.cg_iters,
-                                        cg_tol=config.cg_tol)
+                                        cg_tol=config.cg_tol,
+                                        pt_sorted=pt_sorted)
             cams_new = cams + dc
             # project onto bounds + renormalize quats
             ned = jnp.clip(cams_new[:, :3], lo, hi)

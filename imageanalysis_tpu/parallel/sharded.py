@@ -34,15 +34,21 @@ def make_mesh(devices=None, axis="dp") -> Mesh:
 
 
 def pad_observations(obs: bundle.BAObservations, multiple: int):
-    """Pad the observation axis to a multiple (weight-0 rows are inert)."""
+    """Pad the observation axis to a multiple (weight-0 rows are inert).
+
+    pt_idx pads with the LAST value, not 0: chain-ordered setups have
+    sorted pt_idx, which enables scatter-free segment sums in the BA step
+    — a 0 tail would break the sortedness the solver detects."""
     n = obs.uv.shape[0]
     n_pad = ((n + multiple - 1) // multiple) * multiple
     if n_pad == n:
         return obs
     extra = n_pad - n
+    pt = np.asarray(obs.pt_idx)
+    pt_fill = pt[-1] if len(pt) else 0
     return bundle.BAObservations(
         cam_idx=np.concatenate([np.asarray(obs.cam_idx), np.zeros(extra, np.int32)]),
-        pt_idx=np.concatenate([np.asarray(obs.pt_idx), np.zeros(extra, np.int32)]),
+        pt_idx=np.concatenate([pt, np.full(extra, pt_fill, np.int32)]),
         uv=np.concatenate([np.asarray(obs.uv), np.zeros((extra, 2), np.float32)]),
         weight=np.concatenate([np.asarray(obs.weight), np.zeros(extra, np.float32)]),
     )
@@ -98,7 +104,7 @@ def _jac_shardings(mesh: Mesh, axis="dp"):
             tuple(rep for _ in range(6)))
 
 
-def sharded_lm_jacobians(mesh: Mesh, axis="dp"):
+def sharded_lm_jacobians(mesh: Mesh, axis="dp", pt_sorted=False):
     """The λ-independent jacobian precompute, observation-sharded. Pairs
     with sharded_lm_solve so λ retries reuse the JVPs (same split as the
     single-chip bundle.solve)."""
@@ -112,20 +118,23 @@ def sharded_lm_jacobians(mesh: Mesh, axis="dp"):
 
     def impl(cams, pts, obs, K, dist):
         return bundle.lm_jacobians_impl(cams, pts, obs, K, dist,
-                                        cams.shape[0], pts.shape[0])
+                                        cams.shape[0], pts.shape[0],
+                                        pt_sorted=pt_sorted)
 
     return jax.jit(impl, in_shardings=(rep, rep, obs_sh, rep, rep),
                    out_shardings=_jac_shardings(mesh, axis))
 
 
-def sharded_lm_solve(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3):
+def sharded_lm_solve(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3,
+                     pt_sorted=False):
     """The per-λ damped Schur/PCG solve over precomputed sharded jacobians."""
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
     def impl(jac, cam_idx, pt_idx, lam):
         return bundle.lm_solve_impl(jac, cam_idx, pt_idx, lam,
-                                    cg_iters=cg_iters, cg_tol=cg_tol)
+                                    cg_iters=cg_iters, cg_tol=cg_tol,
+                                    pt_sorted=pt_sorted)
 
     return jax.jit(impl,
                    in_shardings=(_jac_shardings(mesh, axis), sh, sh, rep),
@@ -136,9 +145,10 @@ def solve_sharded(cams0, pts0, obs, K, dist, mesh: Mesh,
                   config: bundle.BAConfig = bundle.BAConfig(), verbose=True,
                   log_fn=print):
     """bundle.solve with the inner step sharded over a device mesh."""
-    jac_fn = sharded_lm_jacobians(mesh)
+    pt_sorted = bool(np.all(np.diff(np.asarray(obs.pt_idx)) >= 0))
+    jac_fn = sharded_lm_jacobians(mesh, pt_sorted=pt_sorted)
     solve_fn = sharded_lm_solve(mesh, cg_iters=config.cg_iters,
-                                cg_tol=config.cg_tol)
+                                cg_tol=config.cg_tol, pt_sorted=pt_sorted)
     obs_dev = shard_observations(obs, mesh)
     rep = NamedSharding(mesh, P())
     cost_fn = jax.jit(

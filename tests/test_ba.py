@@ -253,3 +253,25 @@ def test_ba_f32_matches_f64_oracle():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["mre_delta_px"] < 0.01
     assert rec["cam_pos_delta_mean_m"] < 0.001
+
+
+def test_ba_obs_order_invariance(rng):
+    """Chain-ordered setups have sorted pt_idx and take the scatter-free
+    segment-sum path; a shuffled observation order must converge to the
+    same solution through the general path (guards the sortedness
+    detection + indices_are_sorted correctness)."""
+    _, _, cams0, pts0, obs = synth_problem(rng, n_cam=9, n_pt=120)
+    n = obs.uv.shape[0]
+    perm = rng.permutation(n)
+    obs_shuf = bundle.BAObservations(
+        cam_idx=obs.cam_idx[perm], pt_idx=obs.pt_idx[perm],
+        uv=obs.uv[perm], weight=obs.weight[perm])
+    assert np.all(np.diff(np.asarray(obs.pt_idx)) >= 0)
+    assert not np.all(np.diff(np.asarray(obs_shuf.pt_idx)) >= 0)
+    r1 = bundle.solve(cams0, pts0, obs, jnp.asarray(K), jnp.asarray(DIST),
+                      bundle.BAConfig(max_iters=5), verbose=False)
+    r2 = bundle.solve(cams0, pts0, obs_shuf, jnp.asarray(K),
+                      jnp.asarray(DIST), bundle.BAConfig(max_iters=5),
+                      verbose=False)
+    np.testing.assert_allclose(r1.cams, r2.cams, atol=2e-2)
+    np.testing.assert_allclose(r1.mre, r2.mre, rtol=1e-2)
