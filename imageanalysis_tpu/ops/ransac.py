@@ -30,22 +30,33 @@ class RansacResult(NamedTuple):
     ok: jnp.ndarray         # scalar bool — enough points / valid model
 
 
-def _sample_indices(key, valid, n_hyp, k, order=None):
+def _valid_cumsum(valid):
+    """Inclusive rank of each entry among the valid ones: the shared
+    selection structure for sampling and scoring. A cumsum + searchsorted
+    replaces the earlier argsort(~valid) — a full 6k-element sort per pair
+    was a visible slice of the vmapped RANSAC's device time."""
+    return jnp.cumsum(valid.astype(jnp.int32))
+
+
+def _sample_indices(key, valid, n_hyp, k, ranks=None):
     """Sample k point indices per hypothesis, uniform over valid entries.
 
     Sampling with replacement within a hypothesis is possible but harmless
     (degenerate minimal sets score ~0 inliers and lose the argmax).
     """
-    if order is None:
-        order = jnp.argsort(~valid)          # valid indices first
-    n_valid = jnp.sum(valid)
+    if ranks is None:
+        ranks = _valid_cumsum(valid)
+    n_valid = ranks[-1]
     u = jax.random.uniform(key, (n_hyp, k))
-    idx = (u * n_valid).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, jnp.maximum(n_valid - 1, 0))
-    return order[idx]                        # (n_hyp, k)
+    tgt = jnp.minimum((u * n_valid).astype(jnp.int32) + 1,
+                      jnp.maximum(n_valid, 1))
+    # index of the tgt-th valid entry = first position with rank == tgt
+    # (clamped for the all-invalid case, where any model scores 0)
+    idx = jnp.searchsorted(ranks, tgt.ravel()).reshape(n_hyp, k)
+    return jnp.minimum(idx, valid.shape[0] - 1).astype(jnp.int32)
 
 
-def _score_subset(valid, order, max_points):
+def _score_subset(valid, ranks, max_points):
     """Fixed-size point subset for hypothesis SCORING.
 
     Evaluating all H hypotheses against all N points materializes
@@ -57,8 +68,14 @@ def _score_subset(valid, order, max_points):
     passes still use every point. Returns (indices (m,), mask (m,))."""
     n = valid.shape[0]
     m = min(max_points, n)
-    stride = max(n // m, 1)
-    sub = order[::stride][:m]
+    n_valid = ranks[-1]
+    # m evenly spaced valid ranks (clipped when fewer than m are valid,
+    # which just repeats entries — harmless for a count estimate)
+    tgt = jnp.minimum((jnp.arange(m, dtype=jnp.int32)
+                       * jnp.maximum(n_valid, 1)) // m + 1,
+                      jnp.maximum(n_valid, 1))
+    sub = jnp.searchsorted(ranks, tgt).astype(jnp.int32)
+    sub = jnp.minimum(sub, n - 1)
     return sub, valid[sub]
 
 
@@ -179,13 +196,13 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     """RANSAC homography pts_a→pts_b. pts: (N,2) padded; valid: (N,) bool."""
     pa_n, Ta = _normalize_2d(pts_a, valid)
     pb_n, Tb = _normalize_2d(pts_b, valid)
-    order = jnp.argsort(~valid)
-    idx = _sample_indices(key, valid, n_hyp, 4, order=order)
+    ranks = _valid_cumsum(valid)
+    idx = _sample_indices(key, valid, n_hyp, 4, ranks=ranks)
 
     Hs = jax.vmap(lambda i: _homography_4pt(pa_n[i], pb_n[i]))(idx)  # (H,3,3)
     # score on a fixed subset (see _score_subset: full-N scoring was 60% of
     # the matcher's device time); refine + final inliers use every point
-    sub, sub_ok = _score_subset(valid, order, score_points)
+    sub, sub_ok = _score_subset(valid, ranks, score_points)
     errs = jax.vmap(lambda H: _homography_error(H, pa_n[sub], pb_n[sub]))(Hs)
     # threshold in normalized units: scale by Tb's isotropic scale
     t_norm = thresh * Tb[0, 0]
@@ -250,10 +267,10 @@ def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     (reference matcher.py:124)."""
     pa_n, Ta = _normalize_2d(pts_a, valid)
     pb_n, Tb = _normalize_2d(pts_b, valid)
-    order = jnp.argsort(~valid)
-    idx = _sample_indices(key, valid, n_hyp, 8, order=order)
+    ranks = _valid_cumsum(valid)
+    idx = _sample_indices(key, valid, n_hyp, 8, ranks=ranks)
     Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
-    sub, sub_ok = _score_subset(valid, order, score_points)
+    sub, sub_ok = _score_subset(valid, ranks, score_points)
     errs = jax.vmap(lambda F: _epipolar_dist(F, pa_n[sub], pb_n[sub]))(Fs)
     t_norm = thresh * Tb[0, 0]
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
@@ -296,8 +313,8 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
     c = jnp.stack([K[0, 2], K[1, 2]])
     pa_n = (pts_a - c) / f
     pb_n = (pts_b - c) / f
-    order = jnp.argsort(~valid)
-    idx = _sample_indices(key, valid, n_hyp, 12, order=order)
+    ranks = _valid_cumsum(valid)
+    idx = _sample_indices(key, valid, n_hyp, 12, ranks=ranks)
 
     def solve(i):
         E = _fundamental_8pt(pa_n[i], pb_n[i])
@@ -306,7 +323,7 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
         return (U * S[None, :]) @ Vt
 
     Es = jax.vmap(solve)(idx)
-    sub, sub_ok = _score_subset(valid, order, score_points)
+    sub, sub_ok = _score_subset(valid, ranks, score_points)
     errs = jax.vmap(lambda E: _epipolar_dist(E, pa_n[sub], pb_n[sub]))(Es)
     t_norm = thresh / f
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
