@@ -33,16 +33,21 @@ TEXTURE_RES = 512
 
 def intersect_surface(interp, cam_ned, vectors, avg_ground, iters=10):
     """Iteratively walk each ray onto the Delaunay surface (reference
-    render_panda3d.py:25-71 intersect2d). vectors: (n, 3) NED. Rays more
-    than ~60° from straight down (i.e. <30° above horizon) give NaN."""
+    render_panda3d.py:25-71 intersect2d). cam_ned: (3,) or (n, 3) per-ray
+    camera centers — the batched form lets ALL images' grids walk the
+    surface in one vectorized pass (one scipy interp call per iteration
+    over every ray instead of one per image). vectors: (n, 3) NED. Rays
+    more than ~60° from straight down (i.e. <30° above horizon) give NaN."""
+    cam_ned = np.asarray(cam_ned, dtype=float)
+    if cam_ned.ndim == 1:
+        cam_ned = cam_ned[None, :]
     n = vectors.shape[0]
-    pts = np.zeros((n, 3))
+    cam_z = cam_ned[:, 2] if cam_ned.shape[0] > 1 else cam_ned[0, 2]
     ground = np.full(n, avg_ground, dtype=float)  # down-coordinate
     v = vectors
     ok = v[:, 2] > 0.5  # cos(60°): reject grazing/horizon rays
-    p = np.zeros((n, 3))
     for _ in range(iters):
-        d_proj = -(cam_ned[2] + ground)
+        d_proj = -(cam_z + ground)
         factor = np.where(ok, d_proj / np.where(ok, v[:, 2], 1.0), 0.0)
         p = cam_ned + v * factor[:, None]
         z = interp(p[:, [1, 0]])  # interp takes [e, n]
@@ -51,7 +56,7 @@ def intersect_surface(interp, cam_ned, vectors, avg_ground, iters=10):
             ground = new_ground
             break
         ground = new_ground
-    d_proj = -(cam_ned[2] + ground)
+    d_proj = -(cam_z + ground)
     factor = np.where(ok, d_proj / np.where(ok, v[:, 2], 1.0), np.nan)
     pts = cam_ned + v * factor[:, None]
     pts[~ok] = np.nan
@@ -73,8 +78,21 @@ def make_textures(proj, image_list, resolution=TEXTURE_RES):
         dst = os.path.join(dst_dir, image.name + ".JPG")
         if os.path.exists(dst):
             continue
-        src = cv2.imread(src_path, flags=cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH
-                         | cv2.IMREAD_IGNORE_ORIENTATION)
+        # decode at reduced resolution when it still oversamples the
+        # texture: libjpeg's DCT-domain scaling makes REDUCED_COLOR_2/4
+        # ~3-10× faster than a full decode, and the INTER_AREA downsample
+        # to `resolution` sees ≥1 source px per output px either way
+        w0, h0 = image.get_size()
+        if not w0 or not h0:
+            w0 = int(proj.camera.get("width_px", 0))
+            h0 = int(proj.camera.get("height_px", 0))
+        flags = (cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH
+                 | cv2.IMREAD_IGNORE_ORIENTATION)
+        if min(w0, h0) >= 4 * resolution:
+            flags |= cv2.IMREAD_REDUCED_COLOR_4
+        elif min(w0, h0) >= 2 * resolution:
+            flags |= cv2.IMREAD_REDUCED_COLOR_2
+        src = cv2.imread(src_path, flags=flags)
         h, w = src.shape[:2]
         tex = cv2.resize(src, (0, 0), fx=resolution / float(w),
                          fy=resolution / float(h), interpolation=cv2.INTER_AREA)
@@ -136,6 +154,7 @@ def build(proj, matches, groups, group_index=0, ground=None,
     """only_images / global_outputs support multi-host rendering: each rank
     writes the per-image eggs/textures of its image shard (disjoint files on
     the shared FS) and only rank 0 emits surface.bin / AC3D outputs."""
+    import jax
     import jax.numpy as jnp
     import scipy.interpolate
     import scipy.spatial
@@ -189,16 +208,34 @@ def build(proj, matches, groups, group_index=0, ground=None,
     made = []
     grids = {}
     dist_uvs = {}
-    for image in group_images:
-        use_opt = image.has_opt_pose()
-        ned, _, quat = image.get_camera_pose(opt=use_opt)
-        body2ned = quat_to_matrix(jnp.asarray(quat, dtype=jnp.float32))
-        vecs = np.asarray(pixel_vectors_ned(jnp.asarray(grid_uv), body2ned,
-                                            model.K))
-        pts_ned = intersect_surface(interp, np.asarray(ned), vecs,
-                                    avg_ground=(-avg if ground is None else -ground))
-        dist_uv = np.asarray(redistort_pixels(jnp.asarray(grid_uv), model.K,
-                                              model.dist))
+
+    # ONE device call for every image's ray grid (a per-image dispatch +
+    # download costs a serialized ~34 ms tunnel RTT each — at mission scale
+    # the old per-image loop spent minutes on pure round-trip latency), and
+    # the redistorted texture uv grid is pose-independent: compute it once.
+    neds = np.zeros((len(group_images), 3), np.float32)
+    quats = np.zeros((len(group_images), 4), np.float32)
+    for i, image in enumerate(group_images):
+        ned, _, quat = image.get_camera_pose(opt=image.has_opt_pose())
+        neds[i] = np.asarray(ned, np.float32)
+        quats[i] = np.asarray(quat, np.float32)
+    guv = jnp.asarray(grid_uv)
+    vecs_all = np.asarray(jax.jit(jax.vmap(
+        lambda q: pixel_vectors_ned(guv, quat_to_matrix(q), model.K)
+    ))(jnp.asarray(quats))) if group_images else np.zeros((0, 0, 3))
+    dist_uv = np.asarray(redistort_pixels(guv, model.K, model.dist))
+
+    # batched surface walk: all rays of all images in one vectorized pass
+    G = grid_uv.shape[0]
+    cams_flat = np.repeat(neds.astype(float), G, axis=0)
+    pts_flat = intersect_surface(
+        interp, cams_flat, vecs_all.reshape(-1, 3),
+        avg_ground=(-avg if ground is None else -ground)) \
+        if group_images else np.zeros((0, 3))
+    pts_all = pts_flat.reshape(len(group_images), G, 3)
+
+    for i, image in enumerate(group_images):
+        pts_ned = pts_all[i]
         grid_xyz = np.stack([pts_ned[:, 1], pts_ned[:, 0], -pts_ned[:, 2]],
                             axis=1)           # [e, n, up]
         grids[image.name] = grid_xyz
