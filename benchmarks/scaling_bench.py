@@ -98,12 +98,15 @@ def main(argv=None):
     _clear_state(proj_dir)
     env1 = dict(base_env)
     env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    print(f"generate done ({gen_s:.1f}s); starting 1-process run", flush=True)
     t0 = time.perf_counter()
     p = subprocess.run([sys.executable, CHILD, proj_dir, db_dir], env=env1,
                        cwd=REPO, capture_output=True, text=True)
     t1_wall = time.perf_counter() - t0
     assert p.returncode == 0, p.stdout[-3000:] + p.stderr[-3000:]
     r1 = _parse(p.stdout)
+    print(f"1-process run done ({t1_wall:.1f}s); starting "
+          f"{args.ranks}-process run", flush=True)
 
     # --- R-process run ----------------------------------------------------
     _clear_state(proj_dir)

@@ -121,6 +121,17 @@ def _run(args) -> int:
                 os.path.join(args.project, files[0]))
         cfg["mount"] = {"yaw_deg": args.yaw_deg, "pitch_deg": args.pitch_deg,
                         "roll_deg": args.roll_deg}
+        # a zero focal length (EXIF-less images + no DB entry) would NaN
+        # every undistorted coordinate and surface only as "0 matches"
+        # thousands of images later — fail here with the cause instead
+        K = cfg.get("K") or []
+        if len(K) < 5 or not (float(K[0]) > 0.0 and float(K[4]) > 0.0):
+            log(f"camera '{cam_key}' has no usable focal length "
+                f"(fx={K[0] if len(K) else 'missing'}) — images carry no "
+                "EXIF FocalLength and the camera is not in the DB; pass "
+                "--camera <key> (with --camera-db) or add the camera with "
+                "'utils new-camera'")
+            return 1
         proj.set_camera_config(cfg)
         proj.save()
         proj.state.update("STEP1")

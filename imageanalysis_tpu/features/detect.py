@@ -25,22 +25,28 @@ import numpy as np
 
 class DetectorConfig:
     def __init__(self, detector="SIFT", scale=0.4, max_features=0,
-                 equalize=True, backend="cv"):
+                 equalize=True, backend="cv", device_batch=0):
         self.detector = detector
         self.scale = scale
         self.max_features = int(max_features)
         self.equalize = equalize
         self.backend = backend
+        # images per TPU detect dispatch; 0 = auto by scaled image area
+        # (the pyramid fusion crashes this runtime's TPU worker at B>1
+        # near 3 MP — small frames batch safely and amortize the per-
+        # dispatch download RTT over B images)
+        self.device_batch = int(device_batch)
 
     def to_dict(self):
         return dict(detector=self.detector, scale=self.scale,
                     max_features=self.max_features, equalize=self.equalize,
-                    backend=self.backend)
+                    backend=self.backend, device_batch=self.device_batch)
 
     @classmethod
     def from_dict(cls, d):
         return cls(**{k: d[k] for k in
-                      ("detector", "scale", "max_features", "equalize", "backend")
+                      ("detector", "scale", "max_features", "equalize",
+                       "backend", "device_batch")
                       if k in d})
 
 
@@ -100,6 +106,26 @@ def detect(gray: np.ndarray, config: DetectorConfig):
         kp_meta = np.zeros((0, 4), np.float32)
     kp = kp / scale
     return kp, kp_meta, np.ascontiguousarray(des, dtype=np.float32)
+
+
+def _auto_device_batch(shape):
+    """Images per TPU detect dispatch when DetectorConfig.device_batch=0.
+
+    B>1 amortizes the per-dispatch download RTT over the batch: measured
+    on hardware at mission scale (870x576, scale 0.4 of a 3 MP frame),
+    warm detect drops 260 -> 96 ms/img from B=1 to B=8
+    (scripts_dev/batch_detect_probe.py). But the pyramid fusion crashed
+    this runtime's TPU worker at B>1 near 3 MP (r2 bisect) AND at
+    1088x720 (0.78 MP) — the crash boundary is not simply total pixels,
+    so batching only engages inside the hardware-qualified region:
+    frames <= 0.56 MP (870x576 = mission scale 0.4 is qualified through
+    B=8 / 4 MP total), power-of-two B. Set device_batch explicitly to
+    override either way."""
+    area = int(shape[0]) * int(shape[1])
+    if area > 560_000:
+        return 1
+    b = min(8, 4_000_000 // max(area, 1))
+    return 1 << (b.bit_length() - 1)
 
 
 def detect_project_features(proj, config: DetectorConfig, use_cache=True,
@@ -177,14 +203,33 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
         for im in todo[:prefetch * 2]:
             window.append(loaders.submit(load, im))
             next(src)
-        inflight = None                   # (image, device outs, scale)
+        inflight = None                   # (images, packed result, scale)
+        batch_imgs = []                   # accumulating device batch
+        batch_scaled = []
+        dbatch = 0
 
         def finalize(item):
-            image, outs, scale = item
-            kp, kp_meta, des = sift_tpu.detect_finalize(outs)
-            pending.append(writers.submit(
-                store, image, kp / scale, kp_meta,
-                np.ascontiguousarray(des, dtype=np.float32)))
+            imgs_b, packed, scale = item
+            for image, (kp, kp_meta, des) in zip(
+                    imgs_b, sift_tpu.detect_finalize_batch(packed)):
+                pending.append(writers.submit(
+                    store, image, kp / scale, kp_meta, des))
+
+        def flush():
+            nonlocal inflight
+            if not batch_scaled:
+                return
+            # pad short tails with a repeat so every dispatch shares one
+            # compiled shape; finalize zips against the real image list
+            scaled_pad = batch_scaled + \
+                [batch_scaled[-1]] * (dbatch - len(batch_scaled))
+            packed = sift_tpu.detect_dispatch(
+                scaled_pad, config.max_features or 4096)
+            if inflight is not None:
+                finalize(inflight)
+            inflight = (list(batch_imgs), packed, config.scale)
+            batch_imgs.clear()
+            batch_scaled.clear()
 
         for _tick in it:
             fut = window.pop(0)
@@ -201,20 +246,23 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                     f"{cam_w}x{cam_h} — fix the camera config vs image size "
                     f"issue (reference image.py:300-306)")
             if use_async:
-                # double-buffer: dispatch this image, then download the
+                # double-buffer: dispatch this batch, then download the
                 # previous one while the device works — overlaps the
                 # tunnel transfer + host store with device compute
                 scale = config.scale
                 scaled = (cv2.resize(gray, (0, 0), fx=scale, fy=scale)
                           if scale != 1.0 else gray)
-                outs = sift_tpu.detect_dispatch(
-                    scaled, config.max_features or 4096)
-                if inflight is not None:
-                    finalize(inflight)
-                inflight = (image, outs, scale)
+                if not dbatch:
+                    dbatch = config.device_batch or \
+                        _auto_device_batch(scaled.shape)
+                batch_imgs.append(image)
+                batch_scaled.append(scaled)
+                if len(batch_scaled) >= dbatch:
+                    flush()
             else:
                 kp, kp_meta, des = detect(gray, config)
                 pending.append(writers.submit(store, image, kp, kp_meta, des))
+        flush()
         if inflight is not None:
             finalize(inflight)
         for p in pending:

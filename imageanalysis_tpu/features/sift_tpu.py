@@ -469,21 +469,31 @@ def _pack_detect(kp, meta, desc, valid):
     return jnp.concatenate([head_i, v, d4], axis=-1)
 
 
-def detect_dispatch(gray: np.ndarray, max_features=4096, upsample=True):
-    """Dispatch one image's detection WITHOUT synchronizing.
+def detect_dispatch(grays, max_features=4096, upsample=True):
+    """Dispatch one image's — or a small batch of same-shape images' —
+    detection WITHOUT synchronizing.
 
-    Returns an opaque device array for detect_finalize. Lets callers
-    double-buffer: dispatch image i, then download image i−1 while the
-    device works — on tunneled runtimes the per-image transfer is a large
-    slice of detector wall-clock and this overlaps it with compute."""
-    img = np.asarray(gray)
+    grays: (H, W) or (B, H, W) or a list of (H, W) arrays. Returns an
+    opaque device array for detect_finalize. Lets callers double-buffer:
+    dispatch batch i, then download batch i−1 while the device works — on
+    tunneled runtimes the per-image transfer (and its ~34 ms RTT) is a
+    large slice of detector wall-clock; batching additionally amortizes
+    the RTT over B images. NOTE: this runtime's TPU worker crashes on the
+    pyramid fusion at B>1 near 3 MP (r2 bisect) — callers pick B by image
+    area (features/detect.py device_batch)."""
+    if isinstance(grays, (list, tuple)):
+        img = np.stack([np.asarray(g) for g in grays])
+    else:
+        img = np.asarray(grays)
+    if img.ndim == 2:
+        img = img[None]
     if img.dtype != np.uint8:
         img = img.astype(np.float32)
     H, W = img.shape[-2:]
     base_min = min(H, W) * (2 if upsample else 1)
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
-    chunk = jnp.asarray(img[None])
+    chunk = jnp.asarray(img)
     if chunk.dtype == jnp.float32:
         chunk = chunk / 255.0
     outs = _detect_batch(chunk, per_octave, n_octaves, upsample=upsample,
@@ -492,14 +502,23 @@ def detect_dispatch(gray: np.ndarray, max_features=4096, upsample=True):
 
 
 def detect_finalize(outs):
-    """Materialize a detect_dispatch result → (kp, meta, desc) numpy.
+    """Materialize a single-image detect_dispatch → (kp, meta, desc)."""
+    return detect_finalize_batch(outs)[0]
 
-    ONE download (see _pack_detect), decoded host-side with views."""
-    buf = np.asarray(outs[0])                   # (K, 7 + D/4) int32
-    head = np.ascontiguousarray(buf[:, :6]).view(np.float32)
-    v = buf[:, 6].astype(bool)
-    desc = np.ascontiguousarray(buf[:, 7:]).view(np.uint8)
-    return (head[v, :2], head[v, 2:6], desc[v].astype(np.float32))
+
+def detect_finalize_batch(outs):
+    """Materialize a detect_dispatch result → [(kp, meta, desc), ...] per
+    image. ONE download for the whole batch (see _pack_detect), decoded
+    host-side with views."""
+    buf = np.asarray(outs)                      # (B, K, 7 + D/4) int32
+    results = []
+    for b in range(buf.shape[0]):
+        head = np.ascontiguousarray(buf[b, :, :6]).view(np.float32)
+        v = buf[b, :, 6].astype(bool)
+        desc = np.ascontiguousarray(buf[b, :, 7:]).view(np.uint8)
+        results.append((head[v, :2], head[v, 2:6],
+                        desc[v].astype(np.float32)))
+    return results
 
 
 def detect_and_compute_batch(grays: np.ndarray, max_features=4096,

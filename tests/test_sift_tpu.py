@@ -124,6 +124,24 @@ def test_cv2_parity_real_image():
     assert frac > 0.9, f"cross-engine inlier fraction {frac:.2f}"
 
 
+def test_dispatch_batch_matches_singles(image_pair):
+    """A B=2 detect dispatch must reproduce each image's single-dispatch
+    results exactly (same graph, shared download) — this is the batched
+    path detect_project_features uses when device_batch > 1."""
+    img1, img2, _ = image_pair
+
+    singles = [sift_tpu.detect_finalize(
+        sift_tpu.detect_dispatch(im, max_features=512))
+        for im in (img1, img2)]
+    batched = sift_tpu.detect_finalize_batch(
+        sift_tpu.detect_dispatch([img1, img2], max_features=512))
+    for (kp_s, meta_s, desc_s), (kp_b, meta_b, desc_b) in zip(singles,
+                                                              batched):
+        np.testing.assert_array_equal(kp_s, kp_b)
+        np.testing.assert_array_equal(meta_s, meta_b)
+        np.testing.assert_array_equal(desc_s, desc_b)
+
+
 def test_dispatch_finalize_matches_sync(image_pair):
     """The double-buffered dispatch/finalize path must produce exactly the
     sync detect_and_compute results (same graph, deferred download)."""
@@ -136,3 +154,83 @@ def test_dispatch_finalize_matches_sync(image_pair):
     np.testing.assert_array_equal(kp_s, kp_a)
     np.testing.assert_array_equal(meta_s, meta_a)
     np.testing.assert_array_equal(desc_s, desc_a)
+
+
+class _FakeImage:
+    def __init__(self, name, gray, store):
+        self.name = name
+        self._gray = gray
+        self._store = store
+
+    def load_features(self):
+        return False
+
+    def load_descriptors(self):
+        return False
+
+    def set_size(self, w, h):
+        pass
+
+    def save_features(self):
+        self._store[self.name] = (self.kp, self.kp_meta, self.des)
+
+    def save_descriptors(self):
+        pass
+
+    def save_meta(self):
+        pass
+
+
+class _FakeProj:
+    """Just enough project surface for detect_project_features."""
+
+    def __init__(self, grays, tmpdir):
+        import cv2 as _cv2
+
+        self.store = {}
+        self.camera = {}
+        self._paths = {}
+        self.image_list = []
+        for i, g in enumerate(grays):
+            name = f"IMG_{i:04d}"
+            path = str(tmpdir / f"{name}.png")
+            _cv2.imwrite(path, g)
+            self._paths[name] = path
+            self.image_list.append(_FakeImage(name, g, self.store))
+
+    def image_path(self, image):
+        return self._paths[image.name]
+
+
+def test_project_detect_device_batch_parity(image_pair, tmp_path):
+    """detect_project_features with device_batch=3 (5 images -> one full
+    batch + a padded tail) must store byte-identical features to the
+    device_batch=1 double-buffered path."""
+    from imageanalysis_tpu.features.detect import (DetectorConfig,
+                                                   detect_project_features)
+
+    img1, img2, _ = image_pair
+    rng = np.random.default_rng(7)
+    grays = [img1, img2]
+    for k in range(3):
+        g = (img1.astype(np.int16) +
+             rng.integers(-20, 20, img1.shape)).clip(0, 255)
+        grays.append(g.astype(np.uint8))
+
+    results = {}
+    for dbatch in (1, 3):
+        (tmp_path / f"b{dbatch}").mkdir(exist_ok=True)
+        proj = _FakeProj(grays, tmp_path / f"b{dbatch}")
+        cfg = DetectorConfig(scale=0.5, max_features=256, equalize=False,
+                             backend="tpu", device_batch=dbatch)
+        detect_project_features(proj, cfg, use_cache=False, progress=False)
+        results[dbatch] = proj.store
+
+    assert set(results[1]) == set(results[3]) == {
+        f"IMG_{i:04d}" for i in range(5)}
+    for name in results[1]:
+        kp1, meta1, des1 = results[1][name]
+        kp3, meta3, des3 = results[3][name]
+        np.testing.assert_array_equal(kp1, kp3)
+        np.testing.assert_array_equal(meta1, meta3)
+        np.testing.assert_array_equal(des1, des3)
