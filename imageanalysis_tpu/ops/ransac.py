@@ -192,7 +192,7 @@ def _homography_error(H, pa, pb):
 @functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters",
                                              "score_points"))
 def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
-                      refine_iters=2, score_points=1024):
+                      refine_iters=2, score_points=512):
     """RANSAC homography pts_a→pts_b. pts: (N,2) padded; valid: (N,) bool."""
     pa_n, Ta = _normalize_2d(pts_a, valid)
     pb_n, Tb = _normalize_2d(pts_b, valid)
@@ -261,7 +261,7 @@ def _epipolar_dist(F, pa, pb):
 @functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters",
                                              "score_points"))
 def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
-                       refine_iters=2, score_points=1024):
+                       refine_iters=2, score_points=512):
     """RANSAC fundamental matrix (8-point hypotheses, symmetric epipolar
     distance scoring) — cv2.findFundamentalMat(FM_RANSAC) equivalent
     (reference matcher.py:124)."""
@@ -296,7 +296,7 @@ def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
 @functools.partial(jax.jit, static_argnames=("n_hyp", "refine_iters",
                                              "score_points"))
 def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
-                     refine_iters=2, score_points=1024):
+                     refine_iters=2, score_points=512):
     """RANSAC essential matrix — cv2.findEssentialMat equivalent (reference
     matcher.py:126).
 
