@@ -93,6 +93,20 @@ def _normalize_2d(pts, valid):
     return (pts - mean) * s, T
 
 
+def _similarity_inv(T):
+    """Closed-form inverse of a Hartley transform [[s,0,tx],[0,s,ty],[0,0,1]].
+
+    jnp.linalg.inv on batched 3×3 lowers to an LU path that compiles and
+    runs pathologically on this stack; the structure makes it two scalar
+    divides."""
+    s = T[0, 0]
+    inv_s = 1.0 / s
+    Ti = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+                   dtype=T.dtype)
+    return Ti.at[0, 0].set(inv_s).at[1, 1].set(inv_s) \
+        .at[0, 2].set(-T[0, 2] * inv_s).at[1, 2].set(-T[1, 2] * inv_s)
+
+
 def _gauss_solve(A, b):
     """Unrolled no-pivot Gaussian elimination, batched over leading dims.
 
@@ -220,7 +234,7 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     err = _homography_error(H_ref, pa_n, pb_n)
     inl = (err < t_norm) & valid
     # denormalize: pb = Tb⁻¹ Ĥ Ta pa
-    H_full = jnp.linalg.inv(Tb) @ H_ref @ Ta
+    H_full = _similarity_inv(Tb) @ H_ref @ Ta
     H_full = H_full / jnp.where(jnp.abs(H_full[2, 2]) < 1e-12, 1.0, H_full[2, 2])
     n_inl = jnp.sum(inl)
     ok = (jnp.sum(valid) >= 4) & (n_inl >= 4)
