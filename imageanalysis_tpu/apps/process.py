@@ -236,7 +236,12 @@ def _run(args) -> int:
 
     # ---- Step 3b: cleanup + linking (process.py:305-319) ----------------
     # host-side graph stages (3b/3c/3d) run on rank 0; other ranks wait at
-    # the pre-BA barrier below and read the results from the shared FS
+    # the pre-BA barrier below and read the results from the shared FS.
+    # `matches` is carried in memory across 3b→3c→3d→4 — the pickled chain
+    # structure is millions of entries at mission scale, and reloading it
+    # between consecutive stages cost tens of seconds of pure IO (saves
+    # stay: they are the resume checkpoints).
+    matches = None
     if not rank0:
         pass
     elif not proj.state.check("STEP3b"):
@@ -255,7 +260,8 @@ def _run(args) -> int:
         pass
     elif not proj.state.check("STEP3c"):
         log("Step 3c: initial triangulation")
-        matches = proj.load_matches_grouped()
+        if matches is None:
+            matches = proj.load_matches_grouped()
         if args.ground is not None:
             base = lambda image: args.ground
         else:
@@ -280,7 +286,8 @@ def _run(args) -> int:
         pass
     elif not proj.state.check("STEP3d"):
         log("Step 3d: connectivity grouping")
-        matches = proj.load_matches_grouped()
+        if matches is None:
+            matches = proj.load_matches_grouped()
         grps = groups_mod.compute(proj.image_list, matches,
                                   min_chain_len=args.min_chain_len)
         groups_mod.save(proj.analysis_dir, grps)
@@ -296,7 +303,8 @@ def _run(args) -> int:
         log("Step 4: sparse bundle adjustment")
         from ..ba import bundle, setup as ba_setup
 
-        matches = proj.load_matches_grouped()
+        if matches is None or not rank0:
+            matches = proj.load_matches_grouped()
         grps = groups_mod.load(proj.analysis_dir)
         group_images = grps[args.group] if grps else None
         cams0, pts0, obs, cam_names, match_map = ba_setup.setup_from_matches(

@@ -351,7 +351,7 @@ class ProjectMgr:
     # -- matches (unified structure) --------------------------------------
     def save_matches_grouped(self, matches, name="matches_grouped"):
         with open(os.path.join(self.analysis_dir, name), "wb") as f:
-            pickle.dump(matches, f)
+            pickle.dump(matches, f, protocol=pickle.HIGHEST_PROTOCOL)
 
     def load_matches_grouped(self, name="matches_grouped"):
         with open(os.path.join(self.analysis_dir, name), "rb") as f:

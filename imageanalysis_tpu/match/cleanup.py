@@ -31,6 +31,20 @@ import numpy as np
 from ..io.logger import log
 
 
+class MatchList(list):
+    """The chain structure, plus optional flat observation arrays
+    (obs_img, obs_uv, obs_match — aligned, chain-major in list order) that
+    let the very next stage skip re-flattening millions of Python lists.
+    Pickles as a PLAIN list: the arrays are derived data and would bloat
+    the matches_grouped checkpoint; consumers revalidate and rebuild them
+    when absent or stale (see triangulate_ground)."""
+
+    obs_img = obs_uv = obs_match = None
+
+    def __reduce__(self):
+        return (list, (), None, iter(self))
+
+
 class UnionFind:
     def __init__(self, n):
         self.parent = np.arange(n, dtype=np.int64)
@@ -140,17 +154,32 @@ def link_matches(proj):
     nodes_f = nodes[grp_first]
     uvs = all_kp[nodes_f]
 
-    # assemble chains: observation items once, then C-speed list slicing
+    # assemble chains: observation items once, then C-speed list slicing.
+    # Chains are built directly in longest-first order (stable, matching
+    # list.sort(key=len, reverse=True)) so the flat observation arrays can
+    # be attached in final order for the next stage.
     comp_ids, comp_starts, comp_sizes = np.unique(
         lab_f, return_index=True, return_counts=True)
     obs_items = [[i, uv] for i, uv in zip(imgs_f.tolist(), uvs.tolist())]
-    matches = []
-    for s, size in zip(comp_starts.tolist(), comp_sizes.tolist()):
-        if size < 2:
-            continue
+    keep = comp_sizes >= 2
+    k_starts = comp_starts[keep]
+    k_sizes = comp_sizes[keep]
+    order = np.argsort(-k_sizes, kind="stable")
+    k_starts = k_starts[order]
+    k_sizes = k_sizes[order]
+    matches = MatchList()
+    for s, size in zip(k_starts.tolist(), k_sizes.tolist()):
         matches.append([None, -1] + obs_items[s:s + size])
 
-    matches.sort(key=len, reverse=True)
+    total = int(k_sizes.sum())
+    base = np.repeat(k_starts, k_sizes)
+    within = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(k_sizes) - k_sizes, k_sizes)
+    sel = base + within
+    matches.obs_img = imgs_f[sel].astype(np.int32)
+    matches.obs_uv = uvs[sel].astype(np.float32)
+    matches.obs_match = np.repeat(
+        np.arange(len(k_sizes), dtype=np.int64), k_sizes)
     if dropped_obs:
         log("Dropped inconsistent extra observations:", dropped_obs)
     total_obs = sum(len(m) - 2 for m in matches)
@@ -189,28 +218,49 @@ def triangulate_ground(proj, matches, get_base_elev=None):
             elev = -ned[2] - 1
         base_elev[i] = elev
 
-    # flatten all observations
-    obs_img, obs_uv, obs_match = [], [], []
-    for mi, match in enumerate(matches):
-        for img, uv in match[2:]:
-            obs_img.append(img)
-            obs_uv.append(uv)
-            obs_match.append(mi)
-    if not obs_img:
+    # flat observation arrays: reuse link_matches' (attached on MatchList,
+    # validated against the chain structure — culls mutate chains without
+    # refreshing them), else flatten the Python lists
+    total_obs = sum(len(m) - 2 for m in matches)
+    flat = getattr(matches, "obs_img", None)
+    if flat is not None and len(flat) == total_obs \
+            and len(getattr(matches, "obs_match", ())) == total_obs \
+            and (total_obs == 0
+                 or int(matches.obs_match[-1]) == len(matches) - 1):
+        obs_img = matches.obs_img
+        obs_uv = matches.obs_uv
+        obs_match = matches.obs_match
+    else:
+        obs_img, obs_uv, obs_match = [], [], []
+        for mi, match in enumerate(matches):
+            for img, uv in match[2:]:
+                obs_img.append(img)
+                obs_uv.append(uv)
+                obs_match.append(mi)
+        obs_img = np.asarray(obs_img, np.int32)
+        obs_uv = np.asarray(obs_uv, np.float32)
+        obs_match = np.asarray(obs_match, np.int64)
+    if total_obs == 0:
         return matches
-    obs_img = np.asarray(obs_img, np.int32)
-    obs_uv = np.asarray(obs_uv, np.float32)
-    obs_match = np.asarray(obs_match, np.int64)
 
-    uv_und = undistort_pixels(jnp.asarray(obs_uv), cam.K, cam.dist)
-    body2ned = quat_to_matrix(jnp.asarray(cam_quat))[obs_img]
+    # pad the device call to the next power of two: exact per-mission
+    # shapes defeat the persistent compile cache (every obs count is
+    # unique), and the padded elementwise compute is device-trivial
+    npad = max(1 << int(np.ceil(np.log2(max(total_obs, 1)))), 1 << 14)
+    uv_p = np.zeros((npad, 2), np.float32)
+    uv_p[:total_obs] = obs_uv
+    img_p = np.zeros(npad, np.int32)
+    img_p[:total_obs] = obs_img
+
+    uv_und = undistort_pixels(jnp.asarray(uv_p), cam.K, cam.dist)
+    body2ned = quat_to_matrix(jnp.asarray(cam_quat))[img_p]
     vecs = pixel_vectors_ned(uv_und, body2ned, cam.K)
     # intersect_ground_plane's ground_m is terrain elevation above the NED
     # reference (plane sits at down = −ground_m), matching the reference's
     # intersectVectorsWithGroundPlane (project.py:553-565)
-    elev_rel = jnp.asarray(base_elev - ref_alt)[obs_img]
-    pts = intersect_ground_plane(jnp.asarray(cam_ned)[obs_img], elev_rel, vecs)
-    pts = np.asarray(pts)
+    elev_rel = jnp.asarray(base_elev - ref_alt)[img_p]
+    pts = intersect_ground_plane(jnp.asarray(cam_ned)[img_p], elev_rel, vecs)
+    pts = np.asarray(pts)[:total_obs]
 
     # per-chain means via bincount (np.add.at is ~10× slower at 4M obs)
     n_m = len(matches)

@@ -32,20 +32,31 @@ def compute(image_list, matches, min_chain_len=3, min_group=MIN_GROUP,
     max_wanted = max(int(8000 / sqrt(max(n_images, 1))), 200)
     log("max features desired per image:", max_wanted)
 
-    # pre-extract chain image lists into one padded array (built once):
-    # flat (n_chains, max_len) of image ids, −1 padding
-    chain_imgs = [np.array([m[0] for m in match[2:]], np.int32)
-                  for match in matches]
-    for match in matches:
+    # pre-extract chain image lists into CSR form (built once): slot_img is
+    # every chain's image ids concatenated, slot_chain maps each slot back
+    # to its chain. A padded (n_chains, max_len) layout inflates with the
+    # LONGEST chain (a deep chain can span hundreds of images at mission
+    # scale); CSR keeps every sweep O(total observations).
+    n_chains = len(matches)
+    lengths = np.fromiter((len(m) - 2 for m in matches), np.int64, n_chains)
+    slot_img = np.empty(int(lengths.sum()), np.int32)
+    offs = np.zeros(n_chains + 1, np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    for i, match in enumerate(matches):
         match[1] = -1
-    max_len = max((len(c) for c in chain_imgs), default=0)
-    flat = np.full((len(matches), max_len), -1, np.int64)
-    for i, c in enumerate(chain_imgs):
-        flat[i, :len(c)] = c
-    valid_slot = flat >= 0
-    flat_c = np.where(valid_slot, flat, 0)
-    lengths = valid_slot.sum(1)
-    assigned = np.zeros(len(matches), bool)
+        slot_img[offs[i]:offs[i + 1]] = [m[0] for m in match[2:]]
+    slot_chain = np.repeat(np.arange(n_chains, dtype=np.int64), lengths)
+    # seed image per chain = second image (first for length-1 chains;
+    # clipped for degenerate empty chains, which can never seed)
+    second = np.minimum(offs[:-1] + 1, np.maximum(offs[1:] - 1, offs[:-1]))
+    second = np.clip(second, 0, max(len(slot_img) - 1, 0))
+    chain_second_img = slot_img[second] if len(slot_img) else \
+        np.zeros(0, np.int32)
+    group_of = np.full(n_chains, -1, np.int64)
+    assigned = np.zeros(n_chains, bool)
+
+    def chain_count(slot_mask):
+        return np.bincount(slot_chain[slot_mask], minlength=n_chains)
 
     placed_images: set[int] = set()
     prev_placed = np.zeros(n_images, bool)
@@ -57,17 +68,16 @@ def compute(image_list, matches, min_chain_len=3, min_group=MIN_GROUP,
 
         # seed: unaffiliated chain (touching no placed image) with the most
         # connections — vectorized over all chains
-        has_placed = (prev_placed[flat_c] & valid_slot).any(1)
+        has_placed = chain_count(prev_placed[slot_img]) > 0
         cand = (~assigned) & ~has_placed & (lengths > 2)
         if not cand.any():
             break
         seed_index = int(np.argmax(np.where(cand, lengths, 0)))
-        seed_image = int(chain_imgs[seed_index][1]) \
-            if len(chain_imgs[seed_index]) > 1 \
-            else int(chain_imgs[seed_index][0])
-        matches[seed_index][1] = group_level
+        seed_image = int(chain_second_img[seed_index])
+        group_of[seed_index] = group_level
         assigned[seed_index] = True
-        np.add.at(placed_matches, chain_imgs[seed_index], 1)
+        seed_slots = slot_img[offs[seed_index]:offs[seed_index + 1]]
+        placed_matches += np.bincount(seed_slots, minlength=n_images)
         log("Seeding group with:", image_list[seed_image].name
             if hasattr(image_list[seed_image], "name") else seed_image)
 
@@ -78,21 +88,16 @@ def compute(image_list, matches, min_chain_len=3, min_group=MIN_GROUP,
         # numpy over all chains — at 10⁵–10⁶ chains the difference is
         # minutes vs hours.
         eligible = (~assigned) & (use_single_pairs | (lengths > 2))
-        slot_prev_placed = prev_placed[flat_c] & valid_slot
-        slot_is_seed = (flat_c == seed_image) & valid_slot & ~slot_prev_placed
+        slot_live = ~prev_placed[slot_img]
+        seed_conn = chain_count(slot_live & (slot_img == seed_image)) > 0
 
         still_working = True
         while still_working:
-            pm = placed_matches[flat_c]
-            live = valid_slot & ~slot_prev_placed
-            full = live & (pm >= max_wanted)
-            need_hi = live & (pm >= min_connections) & (pm < max_wanted)
-            need_lo = live & (pm > 0) & (pm < min_connections)
-            unplaced = live & (pm == 0)
-            placed_count = (full | need_hi).sum(1)
-            placed_need = (need_hi | need_lo).sum(1)
-            unplaced_count = unplaced.sum(1)
-            seed_conn = slot_is_seed.any(1)
+            pm = placed_matches[slot_img]
+            placed_count = chain_count(slot_live & (pm >= min_connections))
+            placed_need = chain_count(slot_live & (pm > 0)
+                                      & (pm < max_wanted))
+            unplaced_count = chain_count(slot_live & (pm == 0))
             add = eligible & (
                 (placed_count > 1)
                 | (use_single_pairs & (placed_count > 0))
@@ -100,10 +105,10 @@ def compute(image_list, matches, min_chain_len=3, min_group=MIN_GROUP,
             if not add.any():
                 still_working = False
                 break
-            for i in np.nonzero(add)[0]:
-                matches[i][1] = group_level
+            group_of[add] = group_level
             assigned |= add
-            np.add.at(placed_matches, flat_c[add][valid_slot[add]], 1)
+            placed_matches += np.bincount(slot_img[add[slot_chain]],
+                                          minlength=n_images)
             eligible &= ~add
 
         group_images = set(int(i) for i in np.nonzero(
@@ -119,6 +124,10 @@ def compute(image_list, matches, min_chain_len=3, min_group=MIN_GROUP,
             groups.append(sorted(group_list))
         if len(group_images) < 3:
             break
+    # write group ids back into the match records once (a per-sweep python
+    # loop over added chains was a visible slice of this stage's host time)
+    for i, match in enumerate(matches):
+        match[1] = int(group_of[i])
     return groups
 
 

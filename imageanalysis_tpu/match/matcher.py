@@ -114,6 +114,40 @@ def match_pair_batch_packed(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
     return jnp.where(ok, best_j, -1).astype(jnp.int16)
 
 
+_COMPACT_BITS = 13              # row/col each < 8192 in a compact entry
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_packed(packed, n_real, cap):
+    """Compact a (B, npad) packed match array (−1 = no match) into ONE
+    int32 vector [counts (B,) | entries (cap,)] for a single download.
+
+    Each entry is (row << 13) | col, laid out pair-major in batch order, so
+    the host splits by counts' cumsum — no (B·npad)-element nonzero on the
+    host and a ~4× smaller transfer (the tunnel link is the store loop's
+    critical path; device compute is already overlapped). Pairs at index
+    ≥ n_real are padding slots that match an image against itself — they
+    must be masked HERE or their self-matches flood the cap. Entries past
+    cap are dropped; the host detects sum(counts) > cap and falls back to
+    the full-array path for that batch."""
+    B, npad = packed.shape
+    valid = packed >= 0
+    valid &= jnp.arange(B, dtype=jnp.int32)[:, None] < n_real
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
+    flat = valid.ravel()
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    # invalid/overflow entries target index cap — out of bounds, dropped by
+    # the scatter (duplicates there would break a unique_indices promise)
+    dest = jnp.where(flat & (pos < cap), pos, cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, npad), 1)
+    vals = (rows << _COMPACT_BITS) | \
+        (packed.astype(jnp.int32) & ((1 << _COMPACT_BITS) - 1))
+    out = jnp.zeros((cap,), jnp.int32)
+    out = out.at[dest.ravel()].set(vals.ravel(), mode="drop",
+                                   unique_indices=True)
+    return jnp.concatenate([counts, out])
+
+
 def _predict_uv_in_a(uv_b, cam_a, cam_b, ground_z, K):
     """Ground-projected position prior: cast rays from camera B through its
     (undistorted) keypoints, intersect the horizontal plane z = ground_z
@@ -428,32 +462,64 @@ class BatchMatcher:
         # int8 store: the kernel dispatches on dtype; bf16 only matters for
         # the uint8/f32 store variants
         bf16 = self.store.dtype in ("uint8", "int8") or cfg.bf16
+        # device-side compaction (one [counts | row<<13|col entries] vector
+        # per batch) cuts the per-batch download ~4× — the tunnel transfer,
+        # not device compute, is the store loop's critical path. cap is per
+        # BATCH: rare overflows fall back to downloading the full array
+        # (kept alive on device for exactly that case).
+        cap = B * 512 if self.store.npad < (1 << _COMPACT_BITS) else 0
         n_matched = 0
-        pending = None  # (chunk, device result) awaiting download
+        pending = None  # (chunk, packed device array, compact device array)
         for start in it:
             chunk = pairs[start:start + B]
             idx = np.zeros((B, 2), np.int32)
             idx[: len(chunk)] = chunk
             desc_a, uv_a, n_a = self.store.gather(idx[:, 0])
             desc_b, uv_b, n_b = self.store.gather(idx[:, 1])
-            # dummy padding slots match an image against itself; drop below
+            # dummy padding slots match an image against itself; masked in
+            # the compaction / dropped in the unpack
             self.key, sub = jax.random.split(self.key)
             keys = jax.random.split(sub, B)
             gate = self._pair_gate_arrays(chunk, B) if gated else None
             dev = self._dispatch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys,
                                  bf16, gate=gate)
+            comp = _compact_packed(dev, len(chunk), cap) if cap else None
             if pending is not None:
-                n_matched += _store_unpack(images, pending[0],
-                                           np.asarray(pending[1]),
-                                           cfg.min_pairs,
-                                           post_filter=self._post_filter)
-            pending = (chunk, dev)
+                n_matched += self._unpack_pending(pending, cap)
+            pending = (chunk, dev, comp)
         if pending is not None:
-            n_matched += _store_unpack(images, pending[0],
-                                       np.asarray(pending[1]),
-                                       cfg.min_pairs,
-                                       post_filter=self._post_filter)
+            n_matched += self._unpack_pending(pending, cap)
         return n_matched
+
+    def _unpack_pending(self, pending, cap):
+        chunk, dev, comp = pending
+        if comp is not None:
+            buf = np.asarray(comp)
+            counts = buf[: len(buf) - cap][: len(chunk)]
+            if int(counts.sum()) <= cap:
+                return _store_unpack_compact(
+                    self.proj.image_list, chunk, counts,
+                    buf[len(buf) - cap:], self.config.min_pairs,
+                    post_filter=self._post_filter)
+        return _store_unpack(self.proj.image_list, chunk, np.asarray(dev),
+                             self.config.min_pairs,
+                             post_filter=self._post_filter)
+
+
+def _emit_pair(i1, i2, rows, cols, min_pairs, post_filter=None):
+    """Record one pair's surviving matches in both directions (reference
+    matcher.py:975-985)."""
+    if post_filter is not None:
+        rows, cols = post_filter(i1, i2, rows, cols)
+    if len(rows) < min_pairs:
+        rows = rows[:0]
+        cols = cols[:0]
+    idx_pairs = np.stack([rows, cols], axis=1).tolist()
+    i1.match_list[i2.name] = idx_pairs
+    i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
+    i1.matches_clean = False
+    i2.matches_clean = False
+    return len(idx_pairs)
 
 
 def _store_unpack(images, chunk, packed, min_pairs, post_filter=None):
@@ -468,20 +534,26 @@ def _store_unpack(images, chunk, packed, min_pairs, post_filter=None):
     cols_all = pk[bi_all, rows_all].astype(np.int64)
     starts = np.searchsorted(bi_all, np.arange(len(chunk) + 1))
     for bi, (i, j) in enumerate(chunk):
-        i1, i2 = images[i], images[j]
-        rows = rows_all[starts[bi]:starts[bi + 1]]
-        cols = cols_all[starts[bi]:starts[bi + 1]]
-        if post_filter is not None:
-            rows, cols = post_filter(i1, i2, rows, cols)
-        if len(rows) < min_pairs:
-            rows = rows[:0]
-            cols = cols[:0]
-        idx_pairs = np.stack([rows, cols], axis=1).tolist()
-        i1.match_list[i2.name] = idx_pairs
-        i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
-        i1.matches_clean = False
-        i2.matches_clean = False
-        n_matched += len(idx_pairs)
+        n_matched += _emit_pair(
+            images[i], images[j], rows_all[starts[bi]:starts[bi + 1]],
+            cols_all[starts[bi]:starts[bi + 1]], min_pairs, post_filter)
+    return n_matched
+
+
+def _store_unpack_compact(images, chunk, counts, entries, min_pairs,
+                          post_filter=None):
+    """Unpack a device-compacted [counts | entries] result (_compact_packed):
+    entries are (row << 13 | col) in pair-major order, split by counts."""
+    mask = (1 << _COMPACT_BITS) - 1
+    starts = np.zeros(len(chunk) + 1, np.int64)
+    np.cumsum(counts[: len(chunk)], out=starts[1:])
+    rows_all = (entries >> _COMPACT_BITS).astype(np.int64)
+    cols_all = (entries & mask).astype(np.int64)
+    n_matched = 0
+    for bi, (i, j) in enumerate(chunk):
+        n_matched += _emit_pair(
+            images[i], images[j], rows_all[starts[bi]:starts[bi + 1]],
+            cols_all[starts[bi]:starts[bi + 1]], min_pairs, post_filter)
     return n_matched
 
 
