@@ -37,7 +37,8 @@ class MatchConfig:
     def __init__(self, strategy="traditional", ratio=0.75, transform="homography",
                  match_ratio=None, min_pairs=25, filter_thresh=None,
                  batch_size=16, n_hyp=512, detector_width=None, bf16=True,
-                 use_pallas=None, seed=42, gate_radius_frac=0.2):
+                 use_pallas=None, seed=42, gate_radius_frac=0.2,
+                 compact_downloads=False):
         self.strategy = strategy
         self.ratio = match_ratio if match_ratio is not None else ratio
         # homography|fundamental|essential|essential5|none — essential5 is
@@ -57,6 +58,12 @@ class MatchConfig:
         # (the reference's projection seeding, matcher.py:358-593). 0
         # disables gating (r2 behavior: priors + requalification only).
         self.gate_radius_frac = gate_radius_frac
+        # compact match results on device before download (~4× smaller
+        # transfer). OFF by default: hardware-measured on this runtime the
+        # (B, npad) int16 download costs ~21 ms while the compaction
+        # scatter costs ~55 ms of device time — compaction only wins on
+        # links well under ~25 MB/s (e.g. DCN-attached storage hosts).
+        self.compact_downloads = compact_downloads
 
 
 def _round_up(x, m):
@@ -462,12 +469,14 @@ class BatchMatcher:
         # int8 store: the kernel dispatches on dtype; bf16 only matters for
         # the uint8/f32 store variants
         bf16 = self.store.dtype in ("uint8", "int8") or cfg.bf16
-        # device-side compaction (one [counts | row<<13|col entries] vector
-        # per batch) cuts the per-batch download ~4× — the tunnel transfer,
-        # not device compute, is the store loop's critical path. cap is per
-        # BATCH: rare overflows fall back to downloading the full array
-        # (kept alive on device for exactly that case).
-        cap = B * 512 if self.store.npad < (1 << _COMPACT_BITS) else 0
+        # optional device-side compaction (one [counts | row<<13|col entries]
+        # vector per batch) cuts the per-batch download ~4× — for slow-link
+        # deployments where the transfer, not device compute, caps the store
+        # loop (MatchConfig.compact_downloads). cap is per BATCH: rare
+        # overflows fall back to downloading the full array (kept alive on
+        # device for exactly that case).
+        cap = B * 512 if (cfg.compact_downloads
+                          and self.store.npad < (1 << _COMPACT_BITS)) else 0
         n_matched = 0
         pending = None  # (chunk, packed device array, compact device array)
         for start in it:
@@ -619,7 +628,13 @@ def find_matches(proj, config: MatchConfig | None = None, use_distance=True,
         total += matcher.match_pairs(chunk, progress=True)
         qlog(f"chunk {s // B + 1}/{(len(todo) + B - 1) // B}: "
              f"{len(chunk)} pairs in {time.time() - tc:.1f}s")
-        if smart_state is not None:
+        if smart_state is not None and config.strategy == "smart":
+            # live surface/yaw evidence feeds the smart gating of LATER
+            # chunks and the yaw correction. For other strategies neither is
+            # consumed mid-match and requalify_pairs recomputes the surface
+            # stats from the same (uncorrected) poses afterwards — these
+            # per-chunk updates were ~40% of the 2812 mission's match stage
+            # for zero effect on its output.
             from . import smart as smart_mod
             smart_mod.update_pairs_batched(
                 proj, smart_state,

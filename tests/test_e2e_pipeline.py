@@ -219,18 +219,25 @@ def test_store_path_matches_host_path(processed):
     host_results = {(i, j): list(proj.image_list[i].match_list[
         proj.image_list[j].name]) for i, j in pairs}
 
-    for im in proj.image_list:
-        im.match_list = {}
-    store = BatchMatcher(proj, cfg, use_store=True)
-    assert store.store is not None
-    store.match_pairs(pairs, progress=False)
-    for i, j in pairs:
-        got = proj.image_list[i].match_list[proj.image_list[j].name]
-        want = host_results[(i, j)]
-        # identical knn + identical PRNG keys → near-identical match sets
-        # (uint8 vs f32 rounding can flip a handful of marginal RANSAC calls)
-        inter = len({tuple(p) for p in got} & {tuple(p) for p in want})
-        assert inter > 0.9 * max(len(want), 1), (i, j, len(got), len(want))
+    # once with the default full-download unpack, once with device-side
+    # compaction (the slow-link option) — both must reproduce the host path
+    for compact in (False, True):
+        for im in proj.image_list:
+            im.match_list = {}
+        cfg_s = MatchConfig(batch_size=4, bf16=True,
+                            compact_downloads=compact)
+        store = BatchMatcher(proj, cfg_s, use_store=True)
+        assert store.store is not None
+        store.match_pairs(pairs, progress=False)
+        for i, j in pairs:
+            got = proj.image_list[i].match_list[proj.image_list[j].name]
+            want = host_results[(i, j)]
+            # identical knn + identical PRNG keys → near-identical match
+            # sets (uint8 vs f32 rounding can flip a handful of marginal
+            # RANSAC calls)
+            inter = len({tuple(p) for p in got} & {tuple(p) for p in want})
+            assert inter > 0.9 * max(len(want), 1), \
+                (compact, i, j, len(got), len(want))
 
 
 def test_orb_detector_pipeline(tmp_path):
