@@ -56,6 +56,21 @@ def _sample_indices(key, valid, n_hyp, k, ranks=None):
     return jnp.minimum(idx, valid.shape[0] - 1).astype(jnp.int32)
 
 
+def _sample_from_subset(key, sub, n_hyp, k):
+    """Sample k point indices per hypothesis from a precomputed valid-point
+    subset (_score_subset's evenly-spread selection).
+
+    A direct n_hyp×k searchsorted over all N ranks was the single most
+    expensive RANSAC stage on hardware (+15 ms per 64-pair batch, r3
+    substage profile); drawing minimal sets from the ≥512-point spread is
+    one tiny randint + gather, and the per-hypothesis all-inlier
+    probability wᵏ is unchanged (the subset is an unbiased evenly-spaced
+    selection over the valid entries — hardware recall sweep:
+    scripts_dev/ransac_quality_sweep.py)."""
+    pick = jax.random.randint(key, (n_hyp, k), 0, sub.shape[0])
+    return sub[pick]
+
+
 def _score_subset(valid, ranks, max_points):
     """Fixed-size point subset for hypothesis SCORING.
 
@@ -193,6 +208,60 @@ def _homography_4pt(pa, pb):
     return jnp.concatenate([h8, jnp.ones(1, A.dtype)]).reshape(3, 3)
 
 
+def _adj3(c):
+    """Adjugate of a 3×3 given as nested lists of (…,) scalars."""
+    return [
+        [c[1][1] * c[2][2] - c[1][2] * c[2][1],
+         c[0][2] * c[2][1] - c[0][1] * c[2][2],
+         c[0][1] * c[1][2] - c[0][2] * c[1][1]],
+        [c[1][2] * c[2][0] - c[1][0] * c[2][2],
+         c[0][0] * c[2][2] - c[0][2] * c[2][0],
+         c[0][2] * c[1][0] - c[0][0] * c[1][2]],
+        [c[1][0] * c[2][1] - c[1][1] * c[2][0],
+         c[0][1] * c[2][0] - c[0][0] * c[2][1],
+         c[0][0] * c[1][1] - c[0][1] * c[1][0]],
+    ]
+
+
+def _homography_4pt_batched(pa, pb):
+    """Minimal 4-point homographies for a whole hypothesis batch in
+    scalar-lane form: pa, pb (H, 4, 2) → (H, 3, 3) with pb ~ H·pa.
+
+    Projective-basis method: with A = [λ₁p₁ λ₂p₂ λ₃p₃] where
+    [p₁ p₂ p₃]·λ = p₄ (λ via the adjugate — the shared 1/det factor is a
+    uniform scale and homographies are scale-free), A maps the canonical
+    projective basis to the source quad and B likewise to the target, so
+    H = B·adj(A). All arithmetic is unrolled Python over (H,) lanes: the
+    previous (H, 8, 9) normal-equation solve tiled its trailing dims to
+    (8, 128) and wasted >90% of the VPU (+10.7 ms per 64-pair batch,
+    hardware substage profile). Degenerate samples (3 collinear / repeated
+    points) produce a singular H that scores ~0 inliers, as before."""
+    return _homography_4pt_scalar(
+        [pa[..., i, 0] for i in range(4)], [pa[..., i, 1] for i in range(4)],
+        [pb[..., i, 0] for i in range(4)], [pb[..., i, 1] for i in range(4)])
+
+
+def _homography_4pt_scalar(x, y, u, v):
+    """Projective-basis solve on length-4 lists of (…,) coordinate lanes
+    (see _homography_4pt_batched; this entry lets callers feed flat scalar
+    gathers and skip the (H, 4, 2) intermediate entirely)."""
+    one = jnp.ones_like(x[0])
+
+    def basis(xs, ys):
+        c = [[xs[0], xs[1], xs[2]], [ys[0], ys[1], ys[2]], [one, one, one]]
+        adj = _adj3(c)
+        p4 = [xs[3], ys[3], one]
+        lam = [sum(adj[i][j] * p4[j] for j in range(3)) for i in range(3)]
+        return [[lam[j] * c[i][j] for j in range(3)] for i in range(3)]
+
+    A = basis(x, y)
+    B = basis(u, v)
+    adjA = _adj3(A)
+    H = [[sum(B[i][k] * adjA[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in H], axis=-2)
+
+
 def _homography_error(H, pa, pb):
     """Forward transfer error ‖H·pa − pb‖ (cv2.findHomography's metric)."""
     ph = jnp.concatenate([pa, jnp.ones_like(pa[..., :1])], axis=-1)
@@ -211,12 +280,21 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     pa_n, Ta = _normalize_2d(pts_a, valid)
     pb_n, Tb = _normalize_2d(pts_b, valid)
     ranks = _valid_cumsum(valid)
-    idx = _sample_indices(key, valid, n_hyp, 4, ranks=ranks)
-
-    Hs = jax.vmap(lambda i: _homography_4pt(pa_n[i], pb_n[i]))(idx)  # (H,3,3)
     # score on a fixed subset (see _score_subset: full-N scoring was 60% of
-    # the matcher's device time); refine + final inliers use every point
+    # the matcher's device time) and draw minimal sets from the same
+    # subset (_sample_from_subset); refine + final inliers use every point
     sub, sub_ok = _score_subset(valid, ranks, score_points)
+    idx = _sample_from_subset(key, sub, n_hyp, 4)
+
+    # flat per-coordinate gathers + strided slices: an (H, 4, 2) gather
+    # tiles its trailing dims to (8, 128) lanes and dominated the solve
+    # stage on hardware
+    idxf = idx.reshape(-1)
+    gx, gy = pa_n[idxf, 0], pa_n[idxf, 1]
+    hx, hy = pb_n[idxf, 0], pb_n[idxf, 1]
+    Hs = _homography_4pt_scalar(
+        [gx[i::4] for i in range(4)], [gy[i::4] for i in range(4)],
+        [hx[i::4] for i in range(4)], [hy[i::4] for i in range(4)])
     errs = jax.vmap(lambda H: _homography_error(H, pa_n[sub], pb_n[sub]))(Hs)
     # threshold in normalized units: scale by Tb's isotropic scale
     t_norm = thresh * Tb[0, 0]
@@ -282,9 +360,9 @@ def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     pa_n, Ta = _normalize_2d(pts_a, valid)
     pb_n, Tb = _normalize_2d(pts_b, valid)
     ranks = _valid_cumsum(valid)
-    idx = _sample_indices(key, valid, n_hyp, 8, ranks=ranks)
-    Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
     sub, sub_ok = _score_subset(valid, ranks, score_points)
+    idx = _sample_from_subset(key, sub, n_hyp, 8)
+    Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
     errs = jax.vmap(lambda F: _epipolar_dist(F, pa_n[sub], pb_n[sub]))(Fs)
     t_norm = thresh * Tb[0, 0]
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
@@ -328,7 +406,8 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
     pa_n = (pts_a - c) / f
     pb_n = (pts_b - c) / f
     ranks = _valid_cumsum(valid)
-    idx = _sample_indices(key, valid, n_hyp, 12, ranks=ranks)
+    sub, sub_ok = _score_subset(valid, ranks, score_points)
+    idx = _sample_from_subset(key, sub, n_hyp, 12)
 
     def solve(i):
         E = _fundamental_8pt(pa_n[i], pb_n[i])
@@ -337,7 +416,6 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
         return (U * S[None, :]) @ Vt
 
     Es = jax.vmap(solve)(idx)
-    sub, sub_ok = _score_subset(valid, ranks, score_points)
     errs = jax.vmap(lambda E: _epipolar_dist(E, pa_n[sub], pb_n[sub]))(Es)
     t_norm = thresh / f
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)

@@ -57,13 +57,13 @@ def stage_fn(stage):
             pa_n, Ta = ransac._normalize_2d(xa, ok)
             pb_n, Tb = ransac._normalize_2d(pb, ok)
             ranks = ransac._valid_cumsum(ok)
-            idx = ransac._sample_indices(key, ok, 512, 4, ranks=ranks)
+            sub, sub_ok = ransac._score_subset(ok, ranks, 512)
+            idx = ransac._sample_from_subset(key, sub, 512, 4)
             if stage == "sample":
-                return jnp.sum(idx)
-            Hs = jax.vmap(lambda i: ransac._homography_4pt(pa_n[i], pb_n[i]))(idx)
+                return jnp.sum(idx) + jnp.sum(sub)
+            Hs = ransac._homography_4pt_batched(pa_n[idx], pb_n[idx])
             if stage == "solve":
                 return jnp.sum(jnp.where(jnp.isfinite(Hs), Hs, 0.0))
-            sub, sub_ok = ransac._score_subset(ok, ranks, 512)
             errs = jax.vmap(lambda H: ransac._homography_error(
                 H, pa_n[sub], pb_n[sub]))(Hs)
             t_norm = THRESH * Tb[0, 0]

@@ -38,6 +38,29 @@ def test_ransac_homography_recovers(rng):
     np.testing.assert_allclose(Hn / Hn[2, 2], H / H[2, 2], rtol=2e-2, atol=2e-2)
 
 
+def test_homography_4pt_batched_matches_normal_equations(rng):
+    """The scalar-lane projective-basis minimal solver must agree (up to
+    scale) with the 8×8 normal-equation solver it replaced."""
+    pa = rng.uniform(-1.5, 1.5, (64, 4, 2)).astype(np.float32)
+    H_true = np.array([[1.2, 0.1, 0.3], [-0.05, 0.9, -0.2], [0.02, -0.03, 1.0]],
+                      np.float32)
+    ph = np.concatenate([pa, np.ones((64, 4, 1), np.float32)], -1) @ H_true.T
+    pb = (ph[..., :2] / ph[..., 2:3]).astype(np.float32)
+    Hb = np.asarray(ransac._homography_4pt_batched(jnp.asarray(pa),
+                                                   jnp.asarray(pb)))
+    Ho = np.asarray(jax.vmap(lambda a, b: ransac._homography_4pt(a, b))(
+        jnp.asarray(pa), jnp.asarray(pb)))
+    for i in range(64):
+        a = Hb[i] / Hb[i, 2, 2]
+        b = Ho[i] / Ho[i, 2, 2]
+        # closed form is tight; the old f32 normal-equation solve squares
+        # the condition number and is only good to ~1e-2
+        np.testing.assert_allclose(a, H_true / H_true[2, 2], rtol=2e-3,
+                                   atol=2e-3)
+        np.testing.assert_allclose(b, H_true / H_true[2, 2], rtol=5e-2,
+                                   atol=5e-2)
+
+
 def test_ransac_homography_padded_invalid(rng):
     H, pa, pb, _ = planted_homography(rng, n=100, n_out=20)
     pad = np.zeros((28, 2), np.float32)
