@@ -31,14 +31,20 @@ CV_BASELINE_PAIRS = 2
 
 
 def make_pair_batch(rng, batch):
-    from imageanalysis_tpu.ops import knn
-
-    desc_a = rng.uniform(0, 360, (batch, N_PAD, DIM)).astype(np.float32)
-    desc_b = rng.uniform(0, 360, (batch, N_PAD, DIM)).astype(np.float32)
-    desc_a[:, N_FEAT:] = knn.PAD_VALUE
-    desc_b[:, N_FEAT:] = knn.PAD_VALUE
-    desc_b[:, :PLANTED] = desc_a[:, :PLANTED] + rng.normal(
-        0, 4, (batch, PLANTED, DIM)).astype(np.float32)
+    """SIFT-like pairs: descriptors are integer 0..255 (SIFT is natively
+    uint8 — the mission DescriptorStore holds value−128 int8 and the match
+    kernel runs on the int8 MXU with exact integer distances)."""
+    # SIFT value statistics: gradient-histogram entries concentrate low
+    # (the 0.2-norm clip caps entries near ~100 of 255)
+    desc_a = rng.integers(0, 100, (batch, N_PAD, DIM)).astype(np.float32)
+    desc_b = rng.integers(0, 100, (batch, N_PAD, DIM)).astype(np.float32)
+    noise = rng.normal(0, 4, (batch, PLANTED, DIM))
+    desc_b[:, :PLANTED] = np.clip(
+        np.round(desc_a[:, :PLANTED] + noise), 0, 255)
+    # padded rows mirror the store convention: constant 255 (far from any
+    # real descriptor after the ratio test)
+    desc_a[:, N_FEAT:] = 255.0
+    desc_b[:, N_FEAT:] = 255.0
     uv_a = rng.uniform(0, 4000, (batch, N_PAD, 2)).astype(np.float32)
     H_scale = np.array([1.02, 0.98])
     uv_b = (uv_a * H_scale + np.array([25.0, -40.0])
@@ -59,8 +65,13 @@ def bench_ours(steps=STEPS):
     n_b = np.full(BATCH, N_FEAT, np.int32)
     K = jnp.asarray(np.array([[3000.0, 0, 2000], [0, 3000.0, 1500],
                               [0, 0, 1]], np.float32))
+    # the production mission path (match/store.py): descriptors live on
+    # device as value−128 int8; the 2-NN kernel runs on the int8 MXU with
+    # exact integer distances
+    di8_a = (desc_a.astype(np.int16) - 128).astype(np.int8)
+    di8_b = (desc_b.astype(np.int16) - 128).astype(np.int8)
     args = [jnp.asarray(x) for x in
-            (desc_a, desc_b, uv_a, uv_b, n_a, n_b)]
+            (di8_a, di8_b, uv_a, uv_b, n_a, n_b)]
     kwargs = dict(ratio=0.75, thresh=7.9, transform="homography", n_hyp=512,
                   use_pallas=on_tpu, bf16=True)
 
@@ -69,17 +80,17 @@ def bench_ours(steps=STEPS):
     # sequentially; enqueue-ahead matches real deployment). Variants are
     # derived ON DEVICE from the single uploaded batch — re-uploading
     # hundreds of MB per variant would measure the host link, not the chip.
+    # Rolling descriptors + uv together relabels the keypoints without
+    # changing pair geometry (and stays exact int8).
     @jax.jit
-    def perturb(da, db, ua, ub, key):
-        k1, k2 = jax.random.split(key)
-        return (da + jax.random.normal(k1, da.shape, da.dtype) * 0.5,
-                db + jax.random.normal(k2, db.shape, db.dtype) * 0.5,
-                ua, ub)
+    def perturb(da, db, ua, ub, shift):
+        return (jnp.roll(da, shift, axis=1), db,
+                jnp.roll(ua, shift, axis=1), ub)
 
     variants = []
     for v in range(3):
         da2, db2, ua2, ub2 = perturb(args[0], args[1], args[2], args[3],
-                                     jax.random.PRNGKey(100 + v))
+                                     101 * (v + 1))
         variants.append([da2, db2, ua2, ub2, args[4], args[5]])
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
 

@@ -66,6 +66,59 @@ def load_gray(path: str, equalize=True) -> np.ndarray:
     return img
 
 
+def load_scaled_gray(path: str, scale: float, equalize=True):
+    """Decode + downscale + optional CLAHE, returning (scaled_gray,
+    (full_w, full_h)).
+
+    This is the detect pipeline's fast load: detection runs on the scaled
+    image anyway (reference image.py:287-350, default scale 0.4), so
+
+    - JPEGs at scale <= 0.5 decode through PIL's DCT-domain ``draft`` mode
+      at 1/2 (or 1/4, 1/8) resolution — ~2x faster than a full decode on
+      the profiled host (scripts_dev/profile_detect_host.py) and the
+      remaining resize starts from 4x fewer pixels;
+    - CLAHE runs on the SCALED image, not full resolution. The reference
+      equalizes full-res then resizes (image.py:99-135 + :287); CLAHE's
+      8x8 tile grid is image-relative, so the local-contrast structure is
+      the same and the cost drops with the pixel count (83 -> ~11 ms/img
+      at scale 0.4 on the profiled host).
+    """
+    import cv2
+
+    scaled = None
+    full_size = None
+    if scale <= 0.5:
+        try:
+            from PIL import Image as PILImage
+
+            with PILImage.open(path) as im:
+                full_size = (im.width, im.height)
+                ratio = 2 if scale > 0.25 else (4 if scale > 0.125 else 8)
+                im.draft("L", (im.width // ratio, im.height // ratio))
+                gray = np.asarray(im.convert("L"))
+            # draft may land on any size >= requested; resize by actual dims
+            fx = scale * full_size[0] / gray.shape[1]
+            fy = scale * full_size[1] / gray.shape[0]
+            scaled = cv2.resize(gray, (0, 0), fx=fx, fy=fy) \
+                if abs(fx - 1.0) > 1e-9 or abs(fy - 1.0) > 1e-9 else gray
+        except Exception:
+            scaled = None                 # non-JPEG / PIL failure: cv2 path
+    if scaled is None:
+        img = cv2.imread(path, flags=cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH
+                         | cv2.IMREAD_IGNORE_ORIENTATION)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        full_size = (img.shape[1], img.shape[0])
+        scaled = cv2.resize(img, (0, 0), fx=scale, fy=scale) \
+            if scale != 1.0 else img
+    if equalize:
+        clahe = cv2.createCLAHE(clipLimit=3.0, tileGridSize=(8, 8))
+        scaled = clahe.apply(scaled)
+    return scaled, full_size
+
+
 def detect(gray: np.ndarray, config: DetectorConfig):
     """Detect on a scaled copy, rescale kp coords to full resolution
     (reference image.py:287-350)."""
@@ -73,6 +126,14 @@ def detect(gray: np.ndarray, config: DetectorConfig):
 
     scale = config.scale
     scaled = cv2.resize(gray, (0, 0), fx=scale, fy=scale) if scale != 1.0 else gray
+    kp, kp_meta, des = detect_scaled(scaled, config)
+    return kp / scale, kp_meta, des
+
+
+def detect_scaled(scaled: np.ndarray, config: DetectorConfig):
+    """Detect on an already-scaled image; kp coords are in SCALED pixels
+    (callers divide by config.scale for full-res coords)."""
+    import cv2
 
     if config.backend == "tpu":
         from . import sift_tpu
@@ -104,7 +165,6 @@ def detect(gray: np.ndarray, config: DetectorConfig):
         des = np.zeros((0, 128), np.float32)
         kp = np.zeros((0, 2), np.float32)
         kp_meta = np.zeros((0, 4), np.float32)
-    kp = kp / scale
     return kp, kp_meta, np.ascontiguousarray(des, dtype=np.float32)
 
 
@@ -173,8 +233,9 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
     cam_h = int(proj.camera.get("height_px", 0))
 
     def load(image):
-        gray = load_gray(proj.image_path(image), equalize=config.equalize)
-        return image, gray
+        scaled, full_size = load_scaled_gray(
+            proj.image_path(image), config.scale, equalize=config.equalize)
+        return image, scaled, full_size
 
     def store(image, kp, kp_meta, des):
         image.kp, image.kp_meta, image.des = kp, kp_meta, des
@@ -191,8 +252,6 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             pass
     use_async = config.backend == "tpu"
     if use_async:
-        import cv2
-
         from . import sift_tpu
 
     with cf.ThreadPoolExecutor(max_workers=prefetch) as loaders, \
@@ -236,9 +295,8 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             for im in src:
                 window.append(loaders.submit(load, im))
                 break
-            image, gray = fut.result()
+            image, scaled, (w, h) = fut.result()
             qlog("Detecting features/descriptors for:", image.name)
-            h, w = gray.shape[:2]
             image.set_size(w, h)
             if cam_w and (w != cam_w or h != cam_h):
                 raise RuntimeError(
@@ -249,9 +307,6 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                 # double-buffer: dispatch this batch, then download the
                 # previous one while the device works — overlaps the
                 # tunnel transfer + host store with device compute
-                scale = config.scale
-                scaled = (cv2.resize(gray, (0, 0), fx=scale, fy=scale)
-                          if scale != 1.0 else gray)
                 if not dbatch:
                     dbatch = config.device_batch or \
                         _auto_device_batch(scaled.shape)
@@ -260,8 +315,9 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                 if len(batch_scaled) >= dbatch:
                     flush()
             else:
-                kp, kp_meta, des = detect(gray, config)
-                pending.append(writers.submit(store, image, kp, kp_meta, des))
+                kp, kp_meta, des = detect_scaled(scaled, config)
+                pending.append(writers.submit(
+                    store, image, kp / config.scale, kp_meta, des))
         flush()
         if inflight is not None:
             finalize(inflight)

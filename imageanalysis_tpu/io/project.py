@@ -176,22 +176,44 @@ class ImageRecord:
         self.node.save_json(self.meta_file)
 
     def save_features(self):
-        """gzip pickle of (pt, size, angle, response, octave, class_id)
-        tuples — byte-compatible with the reference (image.py:192-208)."""
-        pts = self.kp.astype(float).tolist()
-        meta = self.kp_meta.astype(float).tolist()
-        feature_list = [
-            ((p[0], p[1]), m[0], m[1], m[2], int(m[3]), -1)
-            for p, m in zip(pts, meta)
-        ]
-        with gzip.open(self.features_file, "wb", compresslevel=6) as f:
-            pickle.dump(feature_list, f)
+        """.feat cache. Two formats behind the same gzip envelope:
+
+        - v2 (default): pickle of ("IAFEATv2", kp (n,2) f32, meta (n,4) f32)
+          numpy arrays — building + gzipping the reference's per-keypoint
+          python tuples measured 230 ms/image on a 1-core host
+          (scripts_dev/profile_detect_host.py), ~30× the array form, and
+          detection wall-clock is host-bound at mission scale;
+        - legacy (IMAGEANALYSIS_TPU_LEGACY_FEAT=1): the reference's list of
+          (pt, size, angle, response, octave, class_id) tuples, byte-
+          compatible with reference image.py:192-208 for projects that
+          must round-trip back to the reference tooling.
+
+        load_features reads both (and the reference's own files)."""
+        if os.environ.get("IMAGEANALYSIS_TPU_LEGACY_FEAT"):
+            pts = self.kp.astype(float).tolist()
+            meta = self.kp_meta.astype(float).tolist()
+            payload = [
+                ((p[0], p[1]), m[0], m[1], m[2], int(m[3]), -1)
+                for p, m in zip(pts, meta)
+            ]
+        else:
+            payload = ("IAFEATv2",
+                       np.ascontiguousarray(self.kp, np.float32),
+                       np.ascontiguousarray(self.kp_meta, np.float32))
+        with gzip.open(self.features_file, "wb", compresslevel=1) as f:
+            pickle.dump(payload, f)
 
     def load_features(self) -> bool:
         if not os.path.exists(self.features_file):
             return False
         with gzip.open(self.features_file, "rb") as f:
             feature_list = pickle.load(f)
+        if isinstance(feature_list, tuple) and len(feature_list) == 3 \
+                and feature_list[0] == "IAFEATv2":
+            self.kp = np.asarray(feature_list[1], np.float32).reshape(-1, 2)
+            self.kp_meta = np.asarray(feature_list[2],
+                                      np.float32).reshape(-1, 4)
+            return True
         n = len(feature_list)
         self.kp = np.array([p[0] for p in feature_list],
                            np.float32).reshape(n, 2)
@@ -211,17 +233,28 @@ class ImageRecord:
             if des.min() >= 0 and des.max() <= 255 \
                     and np.array_equal(des, np.round(des)):
                 des = des.astype(np.uint8)
-        level = 1 if des is not None and des.dtype == np.uint8 else 6
-        with gzip.open(self.desc_file, "wb", compresslevel=level) as f:
-            np.save(f, des)
+        if des is not None and des.dtype == np.uint8:
+            # raw .npy: gzip level 1 on SIFT uint8 descriptors still cost
+            # ~38 ms/image of the 1-core host budget for ~25% shrink —
+            # detect wall is host-bound, disk is not the bottleneck
+            with open(self.desc_file, "wb") as f:
+                np.save(f, des)
+        else:
+            with gzip.open(self.desc_file, "wb", compresslevel=6) as f:
+                np.save(f, des)
 
     def load_descriptors(self) -> bool:
         if self.des is not None:
             return True
         if not os.path.exists(self.desc_file):
             return False
-        with gzip.open(self.desc_file, "rb") as f:
-            self.des = np.load(f)
+        with open(self.desc_file, "rb") as f:
+            magic = f.read(2)
+        if magic == b"\x1f\x8b":              # gzip envelope (incl. reference)
+            with gzip.open(self.desc_file, "rb") as f:
+                self.des = np.load(f)
+        else:                                  # raw .npy
+            self.des = np.load(self.desc_file)
         if self.des is not None and self.des.dtype == np.uint8:
             self.des = self.des.astype(np.float32)
         return True

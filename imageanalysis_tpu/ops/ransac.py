@@ -56,7 +56,7 @@ def _sample_indices(key, valid, n_hyp, k, ranks=None):
     return jnp.minimum(idx, valid.shape[0] - 1).astype(jnp.int32)
 
 
-def _sample_from_subset(key, sub, n_hyp, k):
+def _sample_from_subset(key, sub, n_valid, n_hyp, k):
     """Sample k point indices per hypothesis from a precomputed valid-point
     subset (_score_subset's evenly-spread selection).
 
@@ -66,8 +66,14 @@ def _sample_from_subset(key, sub, n_hyp, k):
     one tiny randint + gather, and the per-hypothesis all-inlier
     probability wᵏ is unchanged (the subset is an unbiased evenly-spaced
     selection over the valid entries — hardware recall sweep:
-    scripts_dev/ransac_quality_sweep.py)."""
-    pick = jax.random.randint(key, (n_hyp, k), 0, sub.shape[0])
+    scripts_dev/ransac_quality_sweep.py).
+
+    Picks stay in [0, min(n_valid, m)): with fewer valid points than
+    subset slots, _score_subset's tail slots hold a padding index, and
+    drawing them would poison minimal sets (measured: a ~300-match pair
+    loses RANSAC entirely at (n_valid/m)^4 hypothesis efficiency)."""
+    hi = jnp.maximum(jnp.minimum(n_valid, sub.shape[0]), 1)
+    pick = jax.random.randint(key, (n_hyp, k), 0, hi)
     return sub[pick]
 
 
@@ -80,18 +86,28 @@ def _score_subset(valid, ranks, max_points):
     26 of 44 ms/batch). The argmax over hypotheses only needs a good
     inlier-count ESTIMATE: a ≥1k-point spread across the valid entries
     ranks hypotheses identically in practice; the refine/final-inlier
-    passes still use every point. Returns (indices (m,), mask (m,))."""
+    passes still use every point. Returns (indices (m,), mask (m,)).
+
+    Selection is one scatter-min: the r-th valid entry (rank r) lands in
+    rank stratum floor((r−1)·m/n_valid) and the first position per
+    stratum wins — an evenly spread valid pick, like the previous
+    m-target searchsorted but without its m binary searches (hardware:
+    5.0 → 3.6 ms/64-pair batch, scripts_dev/gather_strategies.py). With
+    n_valid < m the valid entries fill slots 0..n_valid−1 and the tail
+    is masked off (the searchsorted form repeated entries instead, which
+    over-weighted them in scores)."""
     n = valid.shape[0]
     m = min(max_points, n)
     n_valid = ranks[-1]
-    # m evenly spaced valid ranks (clipped when fewer than m are valid,
-    # which just repeats entries — harmless for a count estimate)
-    tgt = jnp.minimum((jnp.arange(m, dtype=jnp.int32)
-                       * jnp.maximum(n_valid, 1)) // m + 1,
-                      jnp.maximum(n_valid, 1))
-    sub = jnp.searchsorted(ranks, tgt).astype(jnp.int32)
-    sub = jnp.minimum(sub, n - 1)
-    return sub, valid[sub]
+    nv = jnp.maximum(n_valid, 1)
+    slot = jnp.where(valid,
+                     jnp.where(n_valid >= m, (ranks - 1) * m // nv,
+                               ranks - 1),
+                     m)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sub = jnp.full((m,), n - 1, jnp.int32).at[slot].min(pos, mode="drop")
+    sub_ok = valid[sub] & (jnp.arange(m) < n_valid)
+    return sub, sub_ok
 
 
 def _normalize_2d(pts, valid):
@@ -284,7 +300,7 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     # the matcher's device time) and draw minimal sets from the same
     # subset (_sample_from_subset); refine + final inliers use every point
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, n_hyp, 4)
+    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 4)
 
     # flat per-coordinate gathers + strided slices: an (H, 4, 2) gather
     # tiles its trailing dims to (8, 128) lanes and dominated the solve
@@ -361,7 +377,7 @@ def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     pb_n, Tb = _normalize_2d(pts_b, valid)
     ranks = _valid_cumsum(valid)
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, n_hyp, 8)
+    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 8)
     Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
     errs = jax.vmap(lambda F: _epipolar_dist(F, pa_n[sub], pb_n[sub]))(Fs)
     t_norm = thresh * Tb[0, 0]
@@ -407,7 +423,7 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
     pb_n = (pts_b - c) / f
     ranks = _valid_cumsum(valid)
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, n_hyp, 12)
+    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 12)
 
     def solve(i):
         E = _fundamental_8pt(pa_n[i], pb_n[i])

@@ -58,7 +58,7 @@ def stage_fn(stage):
             pb_n, Tb = ransac._normalize_2d(pb, ok)
             ranks = ransac._valid_cumsum(ok)
             sub, sub_ok = ransac._score_subset(ok, ranks, 512)
-            idx = ransac._sample_from_subset(key, sub, 512, 4)
+            idx = ransac._sample_from_subset(key, sub, ranks[-1], 512, 4)
             if stage == "sample":
                 return jnp.sum(idx) + jnp.sum(sub)
             Hs = ransac._homography_4pt_batched(pa_n[idx], pb_n[idx])

@@ -244,9 +244,10 @@ def test_ba_f32_matches_f64_oracle():
     import subprocess
     import sys
 
-    script = os.path.join(os.path.dirname(__file__), "..", "scripts_dev",
-                          "ba_f64_oracle.py")
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    script = os.path.join(repo, "scripts_dev", "ba_f64_oracle.py")
     env = dict(os.environ, JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run([sys.executable, script, "60"], env=env,
                          capture_output=True, text=True, timeout=540)
     assert out.returncode == 0, out.stderr[-2000:]
