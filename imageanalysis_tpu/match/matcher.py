@@ -86,6 +86,11 @@ def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
                                           mutual=True, use_pallas=use_pallas,
                                           bf16=bf16)
         pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+        # materialize the gathered coords ONCE: without the barrier XLA
+        # fuses this gather into every RANSAC consumer (normalize, scoring,
+        # refine, final inliers) and re-gathers each time — measured
+        # +5.2 ms/64-pair batch (scripts_dev/gather_cost_probe.py)
+        pb, ok = jax.lax.optimization_barrier((pb, ok))
         if transform == "homography":
             res = ransac.ransac_homography(key, ua, pb, ok, thresh=thresh,
                                            n_hyp=n_hyp)
@@ -211,6 +216,9 @@ def match_pair_batch_gated(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
             bf16=bf16, gate_uv_a=ua, gate_pred_b=pred,
             gate_radius=gate_radius)
         pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+        # see match_pair_batch: stop XLA re-fusing the gather into every
+        # RANSAC consumer
+        pb, ok = jax.lax.optimization_barrier((pb, ok))
         if transform == "homography":
             res = ransac.ransac_homography(key, ua, pb, ok, thresh=thresh,
                                            n_hyp=n_hyp)

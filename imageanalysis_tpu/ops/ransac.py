@@ -77,6 +77,29 @@ def _sample_from_subset(key, sub, n_valid, n_hyp, k):
     return sub[pick]
 
 
+def _minimal_sets_from_subset(key, tab_a, tab_b, n_valid, n_hyp, k):
+    """Sample k-point minimal sets from the gathered subset TABLES and
+    return their coordinates — (n_hyp·k, 2) each, hypothesis-major.
+
+    Index picks are identical to _sample_from_subset (same randint), but
+    the coordinate gather runs as a one-hot (n_hyp·k, m) f32 matmul on
+    the MXU instead of n_hyp·k scattered loads from the (N, 2) arrays:
+    flat gathers were the single biggest RANSAC slice on hardware
+    (+3.2 ms per 64-pair batch) and poisoned the solve stage's fusion
+    (+3.3 ms) — the matmul form runs the whole sample→score chain in
+    ~2 ms (scripts_dev/ransac_gather_solve_probe.py). f32 one-hot is
+    bit-exact: 0/1 factors and the HIGHEST-precision f32 dot reconstruct
+    each coordinate losslessly, so results match the gather form bit for
+    bit (and bf16 saves only 0.2 ms — scripts_dev/onehot_dtype_probe.py).
+    """
+    m = tab_a.shape[0]
+    hi = jnp.maximum(jnp.minimum(n_valid, m), 1)
+    pick = jax.random.randint(key, (n_hyp, k), 0, hi)
+    oh = (pick.reshape(-1)[:, None]
+          == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    return oh @ tab_a.astype(jnp.float32), oh @ tab_b.astype(jnp.float32)
+
+
 def _score_subset(valid, ranks, max_points):
     """Fixed-size point subset for hypothesis SCORING.
 
@@ -300,18 +323,14 @@ def ransac_homography(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     # the matcher's device time) and draw minimal sets from the same
     # subset (_sample_from_subset); refine + final inliers use every point
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 4)
-
-    # flat per-coordinate gathers + strided slices: an (H, 4, 2) gather
-    # tiles its trailing dims to (8, 128) lanes and dominated the solve
-    # stage on hardware
-    idxf = idx.reshape(-1)
-    gx, gy = pa_n[idxf, 0], pa_n[idxf, 1]
-    hx, hy = pb_n[idxf, 0], pb_n[idxf, 1]
+    pa_s, pb_s = pa_n[sub], pb_n[sub]
+    ga, gb = _minimal_sets_from_subset(key, pa_s, pb_s, ranks[-1], n_hyp, 4)
+    gx, gy = ga[:, 0], ga[:, 1]
+    hx, hy = gb[:, 0], gb[:, 1]
     Hs = _homography_4pt_scalar(
         [gx[i::4] for i in range(4)], [gy[i::4] for i in range(4)],
         [hx[i::4] for i in range(4)], [hy[i::4] for i in range(4)])
-    errs = jax.vmap(lambda H: _homography_error(H, pa_n[sub], pb_n[sub]))(Hs)
+    errs = jax.vmap(lambda H: _homography_error(H, pa_s, pb_s))(Hs)
     # threshold in normalized units: scale by Tb's isotropic scale
     t_norm = thresh * Tb[0, 0]
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
@@ -377,9 +396,11 @@ def ransac_fundamental(key, pts_a, pts_b, valid, thresh=3.0, n_hyp=512,
     pb_n, Tb = _normalize_2d(pts_b, valid)
     ranks = _valid_cumsum(valid)
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 8)
-    Fs = jax.vmap(lambda i: _fundamental_8pt(pa_n[i], pb_n[i]))(idx)
-    errs = jax.vmap(lambda F: _epipolar_dist(F, pa_n[sub], pb_n[sub]))(Fs)
+    pa_s, pb_s = pa_n[sub], pb_n[sub]
+    ga, gb = _minimal_sets_from_subset(key, pa_s, pb_s, ranks[-1], n_hyp, 8)
+    Fs = jax.vmap(_fundamental_8pt)(ga.reshape(n_hyp, 8, 2),
+                                    gb.reshape(n_hyp, 8, 2))
+    errs = jax.vmap(lambda F: _epipolar_dist(F, pa_s, pb_s))(Fs)
     t_norm = thresh * Tb[0, 0]
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
     best = jnp.argmax(scores)
@@ -423,16 +444,17 @@ def ransac_essential(key, pts_a, pts_b, valid, K, thresh=1.0, n_hyp=512,
     pb_n = (pts_b - c) / f
     ranks = _valid_cumsum(valid)
     sub, sub_ok = _score_subset(valid, ranks, score_points)
-    idx = _sample_from_subset(key, sub, ranks[-1], n_hyp, 12)
+    pa_s, pb_s = pa_n[sub], pb_n[sub]
+    ga, gb = _minimal_sets_from_subset(key, pa_s, pb_s, ranks[-1], n_hyp, 12)
 
-    def solve(i):
-        E = _fundamental_8pt(pa_n[i], pb_n[i])
+    def solve(pa_k, pb_k):
+        E = _fundamental_8pt(pa_k, pb_k)
         U, S, Vt = jnp.linalg.svd(E)
         S = jnp.array([1.0, 1.0, 0.0], dtype=E.dtype)
         return (U * S[None, :]) @ Vt
 
-    Es = jax.vmap(solve)(idx)
-    errs = jax.vmap(lambda E: _epipolar_dist(E, pa_n[sub], pb_n[sub]))(Es)
+    Es = jax.vmap(solve)(ga.reshape(n_hyp, 12, 2), gb.reshape(n_hyp, 12, 2))
+    errs = jax.vmap(lambda E: _epipolar_dist(E, pa_s, pb_s))(Es)
     t_norm = thresh / f
     scores = jnp.sum((errs < t_norm) & sub_ok[None, :], axis=1)
     best = jnp.argmax(scores)
