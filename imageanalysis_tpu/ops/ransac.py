@@ -111,25 +111,27 @@ def _score_subset(valid, ranks, max_points):
     ranks hypotheses identically in practice; the refine/final-inlier
     passes still use every point. Returns (indices (m,), mask (m,)).
 
-    Selection is one scatter-min: the r-th valid entry (rank r) lands in
-    rank stratum floor((r−1)·m/n_valid) and the first position per
-    stratum wins — an evenly spread valid pick, like the previous
-    m-target searchsorted but without its m binary searches (hardware:
-    5.0 → 3.6 ms/64-pair batch, scripts_dev/gather_strategies.py). With
-    n_valid < m the valid entries fill slots 0..n_valid−1 and the tail
-    is masked off (the searchsorted form repeated entries instead, which
-    over-weighted them in scores)."""
+    Selection: the r-th valid entry (rank r) lands in rank stratum
+    floor((r−1)·m/n_valid), so slot t's representative is the UNIQUE
+    valid position with rank r_t = ceil(t·n_valid/m)+1 (or t+1 when
+    n_valid < m and slots map 1:1). That uniqueness makes the pick a
+    rank-equality one-hot matmul on the MXU — bit-identical to the
+    previous scatter-min form but 3.7 → 1.7 ms per 64-pair batch with
+    the normalization chain (scripts_dev/subset_matmul_probe.py; the
+    scatter itself was 2.1 ms, and before that an m-target searchsorted
+    cost 5.0). With n_valid < m the valid entries fill slots
+    0..n_valid−1 and the tail is masked off."""
     n = valid.shape[0]
     m = min(max_points, n)
     n_valid = ranks[-1]
-    nv = jnp.maximum(n_valid, 1)
-    slot = jnp.where(valid,
-                     jnp.where(n_valid >= m, (ranks - 1) * m // nv,
-                               ranks - 1),
-                     m)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    sub = jnp.full((m,), n - 1, jnp.int32).at[slot].min(pos, mode="drop")
-    sub_ok = valid[sub] & (jnp.arange(m) < n_valid)
+    t = jnp.arange(m, dtype=jnp.int32)
+    r_t = jnp.where(n_valid >= m, (t * n_valid + m - 1) // m + 1, t + 1)
+    oh = (valid[None, :]
+          & (ranks[None, :] == r_t[:, None])).astype(jnp.float32)
+    hit = oh @ jnp.arange(n, dtype=jnp.float32)
+    got = oh @ jnp.ones((n,), jnp.float32)
+    sub = jnp.where(got > 0, hit, float(n - 1)).astype(jnp.int32)
+    sub_ok = t < n_valid
     return sub, sub_ok
 
 
