@@ -82,10 +82,10 @@ def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
     survivors.
     """
     def one(da, db, ua, ub, na, nb, key):
-        best_j, ok = knn.match_pair_dense(da, db, na, nb, ratio=ratio,
-                                          mutual=True, use_pallas=use_pallas,
-                                          bf16=bf16)
-        pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+        best_j, ok, pb = knn.match_pair_dense(da, db, na, nb, ratio=ratio,
+                                              mutual=True,
+                                              use_pallas=use_pallas,
+                                              bf16=bf16, uv_b=ub)
         # materialize the gathered coords ONCE: without the barrier XLA
         # fuses this gather into every RANSAC consumer (normalize, scoring,
         # refine, final inliers) and re-gathers each time — measured
@@ -211,11 +211,10 @@ def match_pair_batch_gated(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
     (the marquee robustness claim, README.md:54-58)."""
     def one(da, db, ua, ub, na, nb, key, ca, cb, gz):
         pred = _predict_uv_in_a(ub, ca, cb, gz, K)
-        best_j, ok = knn.match_pair_dense(
+        best_j, ok, pb = knn.match_pair_dense(
             da, db, na, nb, ratio=ratio, mutual=True, use_pallas=use_pallas,
             bf16=bf16, gate_uv_a=ua, gate_pred_b=pred,
-            gate_radius=gate_radius)
-        pb = jnp.take_along_axis(ub, best_j[:, None], axis=0)
+            gate_radius=gate_radius, uv_b=ub)
         # see match_pair_batch: stop XLA re-fusing the gather into every
         # RANSAC consumer
         pb, ok = jax.lax.optimization_barrier((pb, ok))

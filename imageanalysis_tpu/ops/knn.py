@@ -421,7 +421,7 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True,
                                              "gate_radius"))
 def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
                      use_pallas=False, bf16=True, gate_uv_a=None,
-                     gate_pred_b=None, gate_radius=0.0):
+                     gate_pred_b=None, gate_radius=0.0, uv_b=None):
     """Lowe-ratio + mutual-consistency matching of one descriptor pair.
 
     desc_a/desc_b are padded to static shapes; n_a/n_b give the real counts.
@@ -433,6 +433,12 @@ def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
     gate_uv_a/gate_pred_b/gate_radius (see knn_top2) restrict candidates to
     a spatial neighborhood of a ground-projected position prior — the
     reference's smart seeding (matcher.py:358-593) as a kernel mask.
+
+    uv_b (n_b_pad, 2): when given, ALSO return pb = uv_b[best_j] as a third
+    output — on TPU the coordinate gather rides the mutual check's one-hot
+    matmul (one fused (n_a, n_b)×(n_b, 3) dot), which XLA does NOT manage
+    when the two one-hot dots are built separately
+    (scripts_dev/pb_gather_ab.py: separate dots cost +2.3 ms/64-batch).
     """
     gate_ok = max(desc_a.shape[0], desc_b.shape[0]) <= (1 << _IDX_BITS)
     if use_pallas and (gate_radius <= 0.0 or gate_ok):
@@ -450,8 +456,37 @@ def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
     d1 = jnp.maximum(row_d[:, 0], 0.0)
     d2 = jnp.maximum(row_d[:, 1], 0.0)
     ok = d1 < (ratio * ratio) * d2
-    if mutual:
-        ok &= col_i[best_j] == arange_a
+    pb = None
+    if jax.default_backend() == "tpu":
+        # col_i[best_j] (and uv_b[best_j] when requested) as ONE one-hot
+        # f32 matmul: a minor-dim gather on TPU serializes (~4.0 ms per
+        # 64-pair batch at 6k features vs 1.9 ms for the one-hot dot —
+        # scripts_dev/glue_bisect.py). Indices < 8192 and raw pixel
+        # coords are exact in f32; scales linearly to the store path's
+        # 256-pair batches without materializing the one-hot
+        # (scripts_dev/mutual_glue_probe.py at B=256).
+        n_b_pad = col_i.shape[0]
+        oh = (best_j[:, None]
+              == jnp.arange(n_b_pad, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+        cols = []
+        if mutual:
+            cols.append(col_i.astype(jnp.float32)[:, None])
+        if uv_b is not None:
+            cols.append(uv_b.astype(jnp.float32))
+        if cols:
+            picked = oh @ jnp.concatenate(cols, axis=1)
+        if mutual:
+            ok &= picked[:, 0].astype(jnp.int32) == arange_a
+        if uv_b is not None:
+            pb = picked[:, -2:]
+    else:
+        if mutual:
+            ok &= col_i[best_j] == arange_a
+        if uv_b is not None:
+            pb = jnp.take_along_axis(uv_b, best_j[:, None], axis=0)
     ok &= arange_a < n_a
     ok &= best_j < n_b
+    if uv_b is not None:
+        return best_j, ok, pb
     return best_j, ok

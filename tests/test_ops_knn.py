@@ -95,6 +95,23 @@ def test_padded_rows_never_match(rng):
     assert np.all(np.asarray(best_j)[ok] < 120)
 
 
+def test_match_pair_dense_uv_b_fused_gather(rng):
+    """uv_b= returns pb = uv_b[best_j] (rides the mutual-check one-hot
+    matmul on TPU; plain gather elsewhere) — must equal the 2-tuple form
+    plus an explicit take_along_axis, bit for bit."""
+    a, b = make_descs(rng, 300, 400, overlap=150)
+    pa = knn.pad_descriptors(jnp.asarray(a), 512)
+    pb = knn.pad_descriptors(jnp.asarray(b), 512)
+    uv_b = jnp.asarray(rng.uniform(0, 4000, (512, 2)).astype(np.float32))
+    bj2, ok2 = knn.match_pair_dense(pa, pb, 300, 400, bf16=False)
+    bj3, ok3, puv = knn.match_pair_dense(pa, pb, 300, 400, bf16=False,
+                                         uv_b=uv_b)
+    assert np.array_equal(np.asarray(bj2), np.asarray(bj3))
+    assert np.array_equal(np.asarray(ok2), np.asarray(ok3))
+    expect = np.asarray(jnp.take_along_axis(uv_b, bj2[:, None], axis=0))
+    np.testing.assert_array_equal(np.asarray(puv), expect)
+
+
 def test_knn_int8_matches_f32_oracle(rng):
     """The int8-MXU packed kernel path (uint8 SIFT descriptors stored as
     value−128) computes EXACT integer distances: indices must match the f32
