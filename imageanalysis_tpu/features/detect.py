@@ -232,9 +232,16 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
     cam_w = int(proj.camera.get("width_px", 0))
     cam_h = int(proj.camera.get("height_px", 0))
 
+    # the TPU backend equalizes ON DEVICE inside the detect dispatch
+    # (ops/clahe.py, cv2-parity ±1 gray level): host cv2 CLAHE at mission
+    # resolution is ~80 ms/img of single-core CPU, which does not hide
+    # behind the device pipeline on a 1-core host
+    device_clahe = config.equalize and config.backend == "tpu"
+
     def load(image):
         scaled, full_size = load_scaled_gray(
-            proj.image_path(image), config.scale, equalize=config.equalize)
+            proj.image_path(image), config.scale,
+            equalize=config.equalize and not device_clahe)
         return image, scaled, full_size
 
     def store(image, kp, kp_meta, des):
@@ -283,7 +290,8 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             scaled_pad = batch_scaled + \
                 [batch_scaled[-1]] * (dbatch - len(batch_scaled))
             packed = sift_tpu.detect_dispatch(
-                scaled_pad, config.max_features or 4096)
+                scaled_pad, config.max_features or 4096,
+                equalize=device_clahe)
             if inflight is not None:
                 finalize(inflight)
             inflight = (list(batch_imgs), packed, config.scale)

@@ -469,7 +469,8 @@ def _pack_detect(kp, meta, desc, valid):
     return jnp.concatenate([head_i, v, d4], axis=-1)
 
 
-def detect_dispatch(grays, max_features=4096, upsample=True):
+def detect_dispatch(grays, max_features=4096, upsample=True,
+                    equalize=False):
     """Dispatch one image's — or a small batch of same-shape images' —
     detection WITHOUT synchronizing.
 
@@ -480,7 +481,12 @@ def detect_dispatch(grays, max_features=4096, upsample=True):
     large slice of detector wall-clock; batching additionally amortizes
     the RTT over B images. NOTE: this runtime's TPU worker crashes on the
     pyramid fusion at B>1 near 3 MP (r2 bisect) — callers pick B by image
-    area (features/detect.py device_batch)."""
+    area (features/detect.py device_batch).
+
+    equalize=True runs cv2-equivalent CLAHE on DEVICE (ops/clahe.py)
+    before detection — at mission resolution host cv2 CLAHE is ~80 ms of
+    single-core CPU per image, a visible slice of detect wall-clock.
+    Requires uint8 input."""
     if isinstance(grays, (list, tuple)):
         img = np.stack([np.asarray(g) for g in grays])
     else:
@@ -494,6 +500,11 @@ def detect_dispatch(grays, max_features=4096, upsample=True):
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
     chunk = jnp.asarray(img)
+    if equalize:
+        if chunk.dtype != jnp.uint8:
+            raise ValueError("device CLAHE needs uint8 input")
+        from ..ops.clahe import clahe
+        chunk = clahe(chunk)
     if chunk.dtype == jnp.float32:
         chunk = chunk / 255.0
     outs = _detect_batch(chunk, per_octave, n_octaves, upsample=upsample,
