@@ -242,6 +242,13 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
         scaled, full_size = load_scaled_gray(
             proj.image_path(image), config.scale,
             equalize=config.equalize and not device_clahe)
+        if use_async:
+            # upload from the loader thread: the H2D copy then pipelines
+            # ahead of the device queue instead of serializing inside the
+            # dispatch (tunnel runtimes: upload+compute+download ran
+            # back-to-back, 185 ms/img of which 173 ms was finalize wait)
+            import jax
+            scaled = jax.device_put(scaled)
         return image, scaled, full_size
 
     def store(image, kp, kp_meta, des):

@@ -487,19 +487,30 @@ def detect_dispatch(grays, max_features=4096, upsample=True,
     before detection — at mission resolution host cv2 CLAHE is ~80 ms of
     single-core CPU per image, a visible slice of detect wall-clock.
     Requires uint8 input."""
+    # already-on-device inputs (loaders call jax.device_put right after
+    # decode so the upload pipelines ahead of the compute queue — with the
+    # upload inside dispatch the loop serializes upload→compute→download
+    # on the tunnel: measured 185 ms/img with 173 ms of finalize wait)
+    def on_device(g):
+        return isinstance(g, jax.Array)
+
     if isinstance(grays, (list, tuple)):
-        img = np.stack([np.asarray(g) for g in grays])
+        if all(on_device(g) for g in grays):
+            chunk = jnp.stack(list(grays))
+        else:
+            chunk = jnp.asarray(np.stack([np.asarray(g) for g in grays]))
+    elif on_device(grays):
+        chunk = grays
     else:
-        img = np.asarray(grays)
-    if img.ndim == 2:
-        img = img[None]
-    if img.dtype != np.uint8:
-        img = img.astype(np.float32)
-    H, W = img.shape[-2:]
+        chunk = jnp.asarray(np.asarray(grays))
+    if chunk.ndim == 2:
+        chunk = chunk[None]
+    if chunk.dtype not in (jnp.uint8, jnp.float32):
+        chunk = chunk.astype(jnp.float32)
+    H, W = chunk.shape[-2:]
     base_min = min(H, W) * (2 if upsample else 1)
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
-    chunk = jnp.asarray(img)
     if equalize:
         if chunk.dtype != jnp.uint8:
             raise ValueError("device CLAHE needs uint8 input")
