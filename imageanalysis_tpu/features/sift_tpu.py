@@ -35,6 +35,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 N_SCALES = 3           # scales per octave (cv2 nOctaveLayers)
 SIGMA0 = 1.6
@@ -57,15 +58,62 @@ def _gauss_kernel(sigma):
     return (k / k.sum()).astype(np.float32)
 
 
-def _blur(img, sigma):
-    """Separable Gaussian blur via pad + shifted-slice accumulation.
+def _hblur_kernel(x_ref, o_ref, *, taps, W):
+    # accumulate through the output ref: a pure-value tap sum keeps every
+    # shifted-slice temp live on the Mosaic stack at once (scoped VMEM
+    # scales with tap count and OOMs at mission sizes)
+    o_ref[0] = x_ref[0, :, 0:W] * taps[0]
+    for j, kj in enumerate(taps[1:], start=1):
+        o_ref[0] = o_ref[0] + x_ref[0, :, j:j + W] * kj
 
-    img: (B, H, W). Avoids conv_general_dilated: XLA's TPU conv path pads
-    the single channel up to full vector lanes (32× HBM blowup at mission
-    sizes); a tap-sum of static slices stays in native 2-D layouts and
-    fuses into two VPU passes. Reflect padding matches cv2's border mode.
-    """
+
+def _hblur_pallas(img, k):
+    """Row-direction Gaussian blur as a Pallas kernel: rows are
+    independent, so blocks partition cleanly (no halo). One HBM read +
+    one write per pass — the XLA shifted-slice form re-reads the padded
+    buffer per tap and was the single biggest detector slice (the
+    pyramid: 52 of ~95 ms/img at mission resolution,
+    scripts_dev/sift_stage_bisect.py)."""
+    B, H, W = img.shape
+    r = (len(k) - 1) // 2
+    x = jnp.pad(img, ((0, 0), (0, 0), (r, r)), mode="reflect")
+    # Mosaic keeps ~8 block-sized buffers live (double-buffered in/out +
+    # accumulator temps); size the row tile so that fits scoped VMEM
+    lanes = -(-(W + 2 * r) // 128) * 128
+    th = 256
+    while th > 8 and th * lanes * 4 * 8 > 12 * 1024 * 1024:
+        th //= 2
+    Hp = -(-H // th) * th
+    if Hp != H:
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_hblur_kernel,
+                          taps=tuple(float(v) for v in k), W=W),
+        grid=(B, Hp // th),
+        in_specs=[pl.BlockSpec((1, th, W + 2 * r), lambda b, i: (b, i, 0))],
+        out_specs=pl.BlockSpec((1, th, W), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(x)
+    return out[:, :H, :] if Hp != H else out
+
+
+def _blur(img, sigma):
+    """Separable Gaussian blur. img: (B, H, W); reflect borders (cv2).
+
+    TPU: two Pallas row-blur passes with a transpose between them
+    (column taps become row taps on the transposed image; a 12 MP
+    relayout costs ~0.15 ms while shifted sublane slices re-read the
+    buffer per tap). Elsewhere: pad + shifted-slice accumulation —
+    avoids conv_general_dilated, whose TPU path pads the single channel
+    up to full vector lanes (32× HBM blowup at mission sizes). Both
+    paths sum taps in the same order (identical f32 arithmetic)."""
     k = _gauss_kernel(sigma)
+    if jax.default_backend() == "tpu":
+        y = _hblur_pallas(img, k)
+        y = jnp.transpose(y, (0, 2, 1))
+        y = _hblur_pallas(y, k)
+        return jnp.transpose(y, (0, 2, 1))
     r = (len(k) - 1) // 2
     x = jnp.pad(img, ((0, 0), (0, 0), (r, r)), mode="reflect")
     W = img.shape[2]
@@ -80,6 +128,24 @@ def _blur(img, sigma):
         term = x[:, j:j + H, :] * float(kj)
         out = term if out is None else out + term
     return out
+
+
+def _downsample2(x):
+    """Every-other-pixel downsample (cv2's next-octave rule), (B, H, W).
+
+    A lane-strided slice (x[..., ::2]) produces a pathological relayout
+    on TPU that also poisons downstream layouts — the 3-octave pyramid
+    measured 49 ms/img with it and 10 ms with this form (rows by sublane
+    stride, columns by an exact one-hot f32 matmul on the MXU;
+    scripts_dev task log r3s3). Values are bit-identical."""
+    if jax.default_backend() != "tpu":
+        return x[:, ::2, ::2]
+    y = x[:, ::2, :]
+    W = y.shape[2]
+    sel = (jnp.arange(W, dtype=jnp.int32)[:, None]
+           == 2 * jnp.arange((W + 1) // 2, dtype=jnp.int32)[None, :]
+           ).astype(x.dtype)
+    return jnp.einsum("bhw,wc->bhc", y, sel)
 
 
 def _octave_stack(img, sigma_base):
@@ -424,7 +490,7 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
             all_valid.append(valid.reshape(B_, P * 2))
 
         # downsample for next octave (take every other pixel of level S)
-        octave_img = gs[N_SCALES][:, ::2, ::2]
+        octave_img = _downsample2(gs[N_SCALES])
 
     kp = jnp.concatenate(all_kp, axis=1)
     meta = jnp.concatenate(all_meta, axis=1)
