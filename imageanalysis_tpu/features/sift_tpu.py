@@ -355,8 +355,14 @@ def _descriptors_dense(mag, ang, di, dj, angle_deg, sigma):
           & (jnp.abs(di) <= radius) & (jnp.abs(dj) <= radius))
     m = mag * w * ok
 
-    # orientation hat maps (N, nb, P²), then spatial hats via batched
-    # matmul onto the MXU: desc[n,r,c,o] = Σ_p hat_r·hat_c·(m·hat_o)
+    # orientation hat maps (N, nb, P²), then spatial hats as FUSED
+    # mul+reduce on the VPU: desc[n,r,c,o] = Σ_p hat_r·hat_c·(m·hat_o).
+    # A batched dot here is an (M=4, N=8, K=4096) GEMM per keypoint —
+    # the MXU pads M and N to 128 (≈0.4% utilization) and the
+    # descriptor stage was the detector's biggest slice (28 of 65
+    # ms/img at mission resolution, scripts_dev/sift_stage_bisect.py);
+    # the elementwise product feeding a lane reduction fuses without
+    # materializing the (N, 4, 8, P²) temp.
     mo = []
     for o in range(nb):
         t = (obin - o) % nb
@@ -364,12 +370,20 @@ def _descriptors_dense(mag, ang, di, dj, angle_deg, sigma):
     mo = jnp.stack(mo, axis=1)                       # (N, 8, P²)
     wc = jnp.stack([jnp.maximum(0.0, 1.0 - jnp.abs(cbin - c))
                     for c in range(d)], axis=1)      # (N, 4, P²)
+    on_tpu = jax.default_backend() == "tpu"
     rows = []
     for r in range(d):
         wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin - r))[:, None, :]
-        rows.append(jax.lax.dot_general(
-            wc * wr, mo, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32))     # (N, 4, 8)
+        w2 = wc * wr                                 # (N, 4, P²)
+        if on_tpu:
+            rows.append(jnp.sum(w2[:, :, None, :] * mo[:, None, :, :],
+                                axis=-1))            # (N, 4, 8)
+        else:
+            # CPU XLA materializes the broadcast product (3.7× slower
+            # tests); a batched dot is fine off-TPU
+            rows.append(jax.lax.dot_general(
+                w2, mo, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
     desc = jnp.stack(rows, axis=1).reshape(-1, d * d * nb)
 
     nrm = jnp.linalg.norm(desc, axis=-1, keepdims=True)

@@ -47,7 +47,7 @@ def make(stage):
             B_, Ho, Wo = gs[0].shape
             if stage == "pyramid":
                 acc = acc + jnp.sum(dogs[1]) * 1e-6
-                octave_img = gs[S.N_SCALES][:, ::2, ::2]
+                octave_img = S._downsample2(gs[S.N_SCALES])
                 continue
             for lvl in range(1, S.N_SCALES + 1):
                 mask = S._extrema_mask_level(dogs, lvl, thresh)
@@ -101,7 +101,7 @@ def make(stage):
                 desc2 = S._descriptors_dense(mag2, ang2, di2, dj2,
                                              ang_slots, sig2)
                 acc = acc + jnp.sum(desc2.astype(jnp.float32)) * 1e-6
-            octave_img = gs[S.N_SCALES][:, ::2, ::2]
+            octave_img = S._downsample2(gs[S.N_SCALES])
         return acc * 0 + salt
     return run
 
