@@ -144,7 +144,7 @@ class ReviewSession:
             for i1 in proj.image_list:
                 for other, ml in i1.match_list.items():
                     i2 = name_idx.get(other)
-                    if i2 is not None and ml and i1.name < other:
+                    if i2 is not None and len(ml) and i1.name < other:
                         pairs.append((len(ml), i1, i2))
             pairs.sort(key=lambda r: r[0])
             self.items = [(i1, i2) for _, i1, i2 in pairs]

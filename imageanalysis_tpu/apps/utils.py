@@ -529,7 +529,7 @@ def cmd_plot_matches(args):
     for im in proj.image_list:
         im.load_matches()
         for other, idx_pairs in (im.match_list or {}).items():
-            if other in pos and idx_pairs and im.name < other:
+            if other in pos and len(idx_pairs) and im.name < other:
                 x1, y1 = pos[im.name]
                 x2, y2 = pos[other]
                 ax.plot([x1, x2], [y1, y2], "b-", lw=0.5,

@@ -112,7 +112,7 @@ def link_matches(proj):
             image.load_matches()
         for other, pairs in image.match_list.items():
             j = name_to_idx.get(other)
-            if j is None or j <= i or not pairs:
+            if j is None or j <= i or len(pairs) == 0:
                 continue
             arr = np.asarray(pairs, np.int64).reshape(-1, 2)
             ea.append(offsets[i] + canon[i][arr[:, 0]])

@@ -377,7 +377,7 @@ class BatchMatcher:
         if self.gated:
             il = self.proj.image_list
             failed = [(i, j) for i, j in pairs
-                      if not il[i].match_list.get(il[j].name)]
+                      if len(il[i].match_list.get(il[j].name, ())) == 0]
             if failed:
                 qlog(f"gated matching came up empty for {len(failed)} pairs;"
                      " retrying ungated")
@@ -524,18 +524,26 @@ class BatchMatcher:
 
 def _emit_pair(i1, i2, rows, cols, min_pairs, post_filter=None):
     """Record one pair's surviving matches in both directions (reference
-    matcher.py:975-985)."""
+    matcher.py:975-985).
+
+    Match lists are (n, 2) int32 ARRAYS, not lists-of-lists: the mission
+    emits ~6.7M raw matches, and building + pickling python pairs was
+    ~60 s of the 2812 match stage (plus re-parse cost in every
+    downstream stage). Arrays pickle as raw buffers; all consumers
+    iterate/index/len them identically (old list-form .match pickles
+    still load)."""
     if post_filter is not None:
         rows, cols = post_filter(i1, i2, rows, cols)
     if len(rows) < min_pairs:
         rows = rows[:0]
         cols = cols[:0]
-    idx_pairs = np.stack([rows, cols], axis=1).tolist()
-    i1.match_list[i2.name] = idx_pairs
-    i2.match_list[i1.name] = [[c, r] for r, c in idx_pairs]
+    fwd = np.stack([np.asarray(rows), np.asarray(cols)],
+                   axis=1).astype(np.int32, copy=False)
+    i1.match_list[i2.name] = fwd
+    i2.match_list[i1.name] = fwd[:, ::-1].copy()
     i1.matches_clean = False
     i2.matches_clean = False
-    return len(idx_pairs)
+    return len(fwd)
 
 
 def _store_unpack(images, chunk, packed, min_pairs, post_filter=None):
@@ -732,7 +740,7 @@ def _merge_multihost_matches(proj, smart_state=None):
                 if im is None:
                     continue
                 for other, idx_pairs in ml.items():
-                    if idx_pairs or other not in im.match_list:
+                    if len(idx_pairs) or other not in im.match_list:
                         im.match_list[other] = idx_pairs
                 im.matches_clean = False
         _save_all_matches(proj)

@@ -201,7 +201,7 @@ def triangulate_pair(proj, i1, i2):
     from ..ops.triangulate import triangulate_two_view
 
     pairs = i1.match_list.get(i2.name, [])
-    if not pairs:
+    if len(pairs) == 0:
         return None
     if i1.kp is None:
         i1.load_features()
@@ -420,7 +420,7 @@ def requalify_pairs(proj, smart: SmartState, std_cutoff=50.0):
     for i1 in proj.image_list:
         for other in list(i1.match_list.keys()):
             i2 = name_idx.get(other)
-            if i2 is None or not i1.match_list[other]:
+            if i2 is None or len(i1.match_list[other]) == 0:
                 continue
             if i1.name < other:  # each pair once
                 pair_list.append((i1, i2))
@@ -493,7 +493,7 @@ def update_pairs_batched(proj, smart: SmartState, pair_list):
     device calls (replaces per-pair update_pair at mission scale, where the
     per-pair dispatch round trips dominate Step 3a wall-clock)."""
     pair_list = [(i1, i2) for i1, i2 in pair_list
-                 if i1.match_list.get(i2.name)]
+                 if len(i1.match_list.get(i2.name, ())) > 0]
     if not pair_list:
         return
     stats, affines = pair_surface_stats_batched(proj, pair_list)

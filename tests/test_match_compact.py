@@ -48,6 +48,13 @@ def _run_both(packed, n_real, cap, min_pairs=1):
     return n_full, full, n_comp, comp, total
 
 
+def _assert_same_matches(full, comp):
+    assert set(full) == set(comp)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(comp[k]))
+
+
 def test_compact_roundtrip_matches_full_unpack():
     rng = np.random.default_rng(0)
     B, npad = 8, 512
@@ -55,7 +62,7 @@ def test_compact_roundtrip_matches_full_unpack():
     n_full, full, n_comp, comp, total = _run_both(packed, B, cap=B * npad)
     assert total <= B * npad
     assert n_comp == n_full
-    assert comp == full
+    _assert_same_matches(full, comp)
 
 
 def test_compact_masks_dummy_padding_pairs():
@@ -105,7 +112,7 @@ def test_compact_min_pairs_still_applies():
     n_full, full, n_comp, comp, _ = _run_both(packed, B, cap=B * npad,
                                               min_pairs=10)
     assert n_comp == n_full
-    assert comp == full
+    _assert_same_matches(full, comp)
 
 
 @pytest.mark.parametrize("n_real", [1, 5, 8])
@@ -116,4 +123,4 @@ def test_compact_partial_chunks(n_real):
     n_full, full, n_comp, comp, _ = _run_both(
         packed[:, :], n_real, cap=B * npad)
     assert n_comp == n_full
-    assert comp == full
+    _assert_same_matches(full, comp)
