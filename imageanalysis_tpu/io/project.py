@@ -41,36 +41,6 @@ D2R = np.pi / 180.0
 R2D = 180.0 / np.pi
 
 
-def _undistort_jit(kp, K, dist):
-    """Jitted undistortion (lazy import keeps module import light)."""
-    import jax
-
-    from ..core.camera import undistort_pixels
-
-    global _undistort_compiled
-    if _undistort_compiled is None:
-        _undistort_compiled = jax.jit(undistort_pixels)
-    return _undistort_compiled(kp, K, dist)
-
-
-_undistort_compiled = None
-
-
-def _undistort_flat_jit(u, v, K, dist):
-    """Jitted 1-D bulk undistortion (see core.camera.undistort_pixels_flat)."""
-    import jax
-
-    from ..core.camera import undistort_pixels_flat
-
-    global _undistort_flat_compiled
-    if _undistort_flat_compiled is None:
-        _undistort_flat_compiled = jax.jit(undistort_pixels_flat)
-    return _undistort_flat_compiled(u, v, K, dist)
-
-
-_undistort_flat_compiled = None
-
-
 class ImageRecord:
     """Per-image state: poses, features, matches (reference image.py:25)."""
 
@@ -393,37 +363,22 @@ class ProjectMgr:
     # -- undistortion helpers --------------------------------------------
     def undistort_image_keypoints(self, image: ImageRecord, optimized=False):
         """Populate image.uv_list with undistorted kp coords (reference
-        project.py:278-296), via the jnp camera model.
-
-        The call is jitted with power-of-two padded shapes: eager per-image
-        dispatch (≈30 tiny device ops × one shape per image) costs seconds
-        per image over a remote-tunnel runtime, and per-shape retraces cost
-        a compile per image."""
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
+        project.py:278-296) — host numpy (see undistort_pixels_np: device
+        dispatch/compile overheads dominate this op on tunneled
+        runtimes)."""
         if image.kp is None or len(image.kp) == 0:
             image.uv_list = np.zeros((0, 2), np.float32)
             return
+        from ..core.camera import undistort_pixels_np
+
         model = self.camera_model(optimized)
-        n = len(image.kp)
-        npad = 1 << max(int(np.ceil(np.log2(max(n, 256)))), 8)
-        kp = np.zeros((npad, 2), np.float32)
-        kp[:n] = image.kp
-        uv = _undistort_jit(jnp.asarray(kp), model.K, model.dist)
-        image.uv_list = np.asarray(uv)[:n]
+        image.uv_list = undistort_pixels_np(image.kp, np.asarray(model.K),
+                                            np.asarray(model.dist))
 
     def undistort_all_keypoints(self, images=None, optimized=False):
-        """Batched uv_list fill for MANY images in ONE device call.
-
-        The per-image method costs a dispatch round trip each (~40 ms on
-        tunneled runtimes — 112 s for a 2812-image store build); this pads
-        every image's keypoints into one array and undistorts them in a
-        single call."""
-        import jax.numpy as jnp
-
+        """Bulk uv_list fill for MANY images in one vectorized host pass
+        (see undistort_pixels_np for why this is numpy, not a device
+        call)."""
         # `images=[]` means "nothing to do", not "all images" — only None
         # falls back to the full project list
         pool = self.image_list if images is None else images
@@ -438,31 +393,20 @@ class ProjectMgr:
         images = [im for im in images if im.kp is not None]
         if not images:
             return
+        from ..core.camera import undistort_pixels_np
+
         counts = [len(im.kp) for im in images]
         model = self.camera_model(optimized)
-        # ragged-flattened 1-D arrays in fixed-size chunks: one compiled
-        # shape regardless of mission size, and no (..., 2) trailing-dim
-        # tiling (which made the padded-batch formulation compile for
-        # minutes through the remote-compile tunnel)
+        # pure-numpy bulk path: flat 1-D device arrays executed ~23× slow
+        # (1-lane layouts) — 40.7 s for the 2812 mission's 5.7M keypoints —
+        # and the (m, 256) form pays a ~110 s remote compile per process;
+        # vectorized host numpy does the same fixed-point iteration in
+        # ~3 s with no compile and no transfers
         kp_all = np.concatenate(
             [im.kp if counts[i] else np.zeros((0, 2), np.float32)
              for i, im in enumerate(images)]).astype(np.float32)
-        CH = 1 << 20
-        n = len(kp_all)
-        n_pad = ((n + CH - 1) // CH) * CH if n else CH
-        u = np.zeros(n_pad, np.float32)
-        v = np.zeros(n_pad, np.float32)
-        u[:n] = kp_all[:, 0]
-        v[:n] = kp_all[:, 1]
-        outs = []
-        for s in range(0, n_pad, CH):
-            uu, vv = _undistort_flat_jit(jnp.asarray(u[s:s + CH]),
-                                         jnp.asarray(v[s:s + CH]),
-                                         model.K, model.dist)
-            outs.append((uu, vv))
-        uv_all = np.stack([np.concatenate([np.asarray(o[0]) for o in outs]),
-                           np.concatenate([np.asarray(o[1]) for o in outs])],
-                          axis=1)[:n]
+        uv_all = undistort_pixels_np(kp_all, np.asarray(model.K),
+                                     np.asarray(model.dist))
         pos = 0
         for i, im in enumerate(images):
             im.uv_list = uv_all[pos:pos + counts[i]]
