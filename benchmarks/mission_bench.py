@@ -166,7 +166,7 @@ def main(argv=None):
     n_pairs = 0
     for im in proj.image_list:
         im.load_matches()
-        n_pairs += sum(1 for v in (im.match_list or {}).values() if v)
+        n_pairs += sum(1 for v in (im.match_list or {}).values() if len(v))
     n_pairs //= 2
 
     # the matcher's own log line gives attempted pairs + core match time
