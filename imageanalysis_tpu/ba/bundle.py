@@ -182,12 +182,6 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     n_cam = g_c.shape[0]
     n_pt = g_p[0].shape[0]
 
-    def segc(x):
-        return _seg(x, cam_idx, n_cam)
-
-    def segp(x):
-        return _seg(x, pt_idx, n_pt, sorted_idx=pt_sorted)
-
     eye7 = jnp.eye(7, dtype=g_c.dtype)
     dc = jnp.einsum("cii->ci", Hcc)
     Hcc_d = Hcc + lam * jnp.einsum("ci,ij->cij", dc, eye7) + 1e-8 * eye7
@@ -218,24 +212,44 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
         return [Hpp_inv[k][0] * w[0] + Hpp_inv[k][1] * w[1]
                 + Hpp_inv[k][2] * w[2] for k in range(3)]
 
+    # gathers/reductions run on (n, small) 2-D forms: ONE (n,7) gather costs
+    # ~11 ms at 4M obs where seven 1-D column gathers cost 7×59 ms (TPU lays
+    # (n,) one sublane deep; scripts_dev/ba_matvec_probe.py) — this is the
+    # difference between 0.72 s and ~0.1 s per CG iteration. The (n, small)
+    # temps here are transient fusion inputs, not the resident (n,7,7)
+    # einsum blocks the 1-D jacobian storage exists to avoid.
+    def gcam(v):
+        vg2 = v[cam_idx]
+        return [vg2[:, j] for j in range(7)]
+
+    def gpt3(cols):
+        yg2 = jnp.stack(cols, axis=1)[pt_idx]
+        return [yg2[:, k] for k in range(3)]
+
+    def segp3(cols):
+        w2 = _seg(jnp.stack(cols, axis=1), pt_idx, n_pt, sorted_idx=pt_sorted)
+        return [w2[:, k] for k in range(3)]
+
+    def segc7(cols):
+        return _seg(jnp.stack(cols, axis=1), cam_idx, n_cam)
+
     def schur_matvec(v):
-        vg = [v[:, j][cam_idx] for j in range(7)]
+        vg = gcam(v)
         u = [sum(Jc[i][j] * vg[j] for j in range(7)) for i in range(2)]
-        w = [segp(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+        w = segp3([Jp[0][k] * u[0] + Jp[1][k] * u[1] for k in range(3)])
         y = hpp_solve(w)
-        yg = [y[k][pt_idx] for k in range(3)]
+        yg = gpt3(y)
         z = [sum(Jp[i][k] * yg[k] for k in range(3)) for i in range(2)]
-        corr = jnp.stack([segc(Jc[0][j] * z[0] + Jc[1][j] * z[1])
-                          for j in range(7)], axis=1)
+        corr = segc7([Jc[0][j] * z[0] + Jc[1][j] * z[1] for j in range(7)])
         direct = jnp.einsum("cij,cj->ci", Hcc_d, v)
         return direct - corr
 
     # rhs: b = −(g_c − H_cp Hpp⁻¹ g_p)
     y0 = hpp_solve(g_p)
-    y0g = [y0[k][pt_idx] for k in range(3)]
+    y0g = gpt3(y0)
     z0 = [sum(Jp[i][k] * y0g[k] for k in range(3)) for i in range(2)]
-    b = -(g_c - jnp.stack([segc(Jc[0][j] * z0[0] + Jc[1][j] * z0[1])
-                           for j in range(7)], axis=1))
+    b = -(g_c - segc7([Jc[0][j] * z0[0] + Jc[1][j] * z0[1]
+                       for j in range(7)]))
 
     # block-Jacobi preconditioner from the damped camera blocks
     Pc = jnp.linalg.inv(Hcc_d + 1e-6 * eye7)
@@ -272,9 +286,9 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     dc_cam, _, _, _, _ = jax.lax.while_loop(cg_cond, cg_body, (x0, r0, p0, rz0, 0))
 
     # back-substitute points: Δp = Hpp⁻¹ (−g_p − H_pc Δc)
-    dg = [dc_cam[:, j][cam_idx] for j in range(7)]
+    dg = gcam(dc_cam)
     u = [sum(Jc[i][j] * dg[j] for j in range(7)) for i in range(2)]
-    hpc_dc = [segp(Jp[0][k] * u[0] + Jp[1][k] * u[1]) for k in range(3)]
+    hpc_dc = segp3([Jp[0][k] * u[0] + Jp[1][k] * u[1] for k in range(3)])
     rhs_p = [-g_p[k] - hpc_dc[k] for k in range(3)]
     dp_cols = hpp_solve(rhs_p)
     dp_pts = jnp.stack(dp_cols, axis=1)
@@ -284,7 +298,7 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     # (u above is Jc·Δc; add Jp·Δp). Exact regardless of PCG tolerance —
     # the earlier −½gᵀΔ form dropped the curvature term and mis-scaled
     # the Nielsen damping adaptation.
-    dpg = [dp_cols[k][pt_idx] for k in range(3)]
+    dpg = gpt3(dp_cols)
     Jdelta = [u[i] + sum(Jp[i][k] * dpg[k] for k in range(3))
               for i in range(2)]
     g_dot_d = dot(dc_cam, g_c) + sum(jnp.sum(dp_cols[k] * g_p[k])

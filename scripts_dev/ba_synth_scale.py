@@ -29,7 +29,10 @@ side = int(np.ceil(np.sqrt(N_CAM)))
 gx, gy = np.meshgrid(np.arange(side), np.arange(side))
 cam_ned = np.stack([gx.ravel()[:N_CAM] * 30.0, gy.ravel()[:N_CAM] * 30.0,
                     np.full(N_CAM, -60.0)], axis=1)
-quat = np.tile(np.array([1.0, 0, 0, 0]), (N_CAM, 1))
+from imageanalysis_tpu.core.rotations import quat_from_ypr, quat_multiply
+q_nadir = np.asarray(quat_multiply(quat_from_ypr(0.0, 0.0, 0.0),
+                                   quat_from_ypr(0.0, np.deg2rad(-90.0), 0.0)))
+quat = np.tile(q_nadir, (N_CAM, 1))
 cams = np.concatenate([cam_ned, quat], axis=1).astype(np.float32)
 
 # points on the ground near cameras; each seen by OBS_PER_PT nearby cams
