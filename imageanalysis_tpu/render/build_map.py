@@ -63,6 +63,47 @@ def intersect_surface(interp, cam_ned, vectors, avg_ground, iters=10):
     return pts
 
 
+def decimate_surface(points_en, values, target=50_000):
+    """Grid-bin a dense surface point cloud to ~target cell-mean points.
+
+    A 2812-image mission triangulates >1M surface points; Delaunay +
+    LinearNDInterpolator over them cost minutes of host time (and the
+    surface files hundreds of MB) for a terrain model the 8×8 ray grids and
+    the explorer sample at ~meter scale anyway. Cell means keep the terrain
+    statistics; the raw convex-hull vertices are appended so the
+    interpolation domain (and thus edge-of-map ray coverage) does not
+    shrink. Returns (points (m, 2), values (m,)) — the input unchanged when
+    already under target."""
+    points_en = np.asarray(points_en, float)
+    values = np.asarray(values, float)
+    n = len(points_en)
+    if n <= target:
+        return points_en, values
+    lo = points_en.min(axis=0)
+    span = np.maximum(points_en.max(axis=0) - lo, 1e-6)
+    cell = float(np.sqrt(span[0] * span[1] / target))
+    ij = np.floor((points_en - lo) / cell).astype(np.int64)
+    nx = int(ij[:, 0].max()) + 1
+    key = ij[:, 1] * nx + ij[:, 0]
+    uniq, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv)
+    ce = np.bincount(inv, weights=points_en[:, 0]) / cnt
+    cn = np.bincount(inv, weights=points_en[:, 1]) / cnt
+    cv = np.bincount(inv, weights=values) / cnt
+    out_pts = np.stack([ce, cn], axis=1)
+    out_val = cv
+    try:
+        import scipy.spatial
+        hull = scipy.spatial.ConvexHull(points_en).vertices
+        out_pts = np.concatenate([out_pts, points_en[hull]])
+        out_val = np.concatenate([out_val, values[hull]])
+    except Exception:
+        pass
+    log(f"Surface decimated {n} -> {len(out_pts)} points "
+        f"(cell {cell:.1f} m means + hull)")
+    return out_pts, out_val
+
+
 def make_textures(proj, image_list, resolution=TEXTURE_RES):
     """512² INTER_AREA downsampled textures + dummy.jpg (reference
     panda3d.py:24-74)."""
@@ -181,6 +222,10 @@ def build(proj, matches, groups, group_index=0, ground=None,
         % (avg, std, keep.sum(), len(pts)))
     raw_points = pts[keep][:, [1, 0]]          # [e, n]
     raw_values = pts[keep][:, 2]               # down
+    # mission-scale surfaces decimate to cell means before triangulation:
+    # Delaunay + LinearNDInterpolator over >1M raw points cost minutes of
+    # host time for a terrain model sampled at 8×8 grids per image
+    raw_points, raw_values = decimate_surface(raw_points, raw_values)
     os.makedirs(proj.models_dir, exist_ok=True)
     if global_outputs:
         with open(os.path.join(proj.models_dir, "surface.bin"), "wb") as f:

@@ -118,3 +118,54 @@ def test_triangulate_detects_stale_arrays():
     cleanup.triangulate_ground(proj, oracle)
     for a, b in zip(matches, oracle):
         assert np.allclose(a[0], b[0], atol=1e-5)
+
+
+def _assert_setup_equal(fast, slow):
+    fc, fp, fo, fn, fm = fast
+    sc, sp, so, sn, sm = slow
+    assert fn == sn
+    for a, b in ((fc, sc), (fp, sp), (fm, sm),
+                 (fo.cam_idx, so.cam_idx), (fo.pt_idx, so.pt_idx),
+                 (fo.uv, so.uv), (fo.weight, so.weight)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        assert np.allclose(a.astype(np.float64), b.astype(np.float64))
+
+
+def test_ba_setup_flat_path_equals_loop_path():
+    """setup_from_matches' array-at-a-time assembly must replicate the
+    per-observation loop exactly: same observation order, same
+    min_chain_len/None-point skips, same group filtering."""
+    from imageanalysis_tpu.ba import setup as ba_setup
+
+    proj = _make_proj(np.random.default_rng(4), n_img=6, n_kp=24)
+    for im in proj.image_list:
+        im.has_opt_pose = lambda: False
+    matches = cleanup.link_matches(proj)
+    cleanup.triangulate_ground(proj, matches)
+    # a couple of untriangulated chains exercise the None-point skip
+    matches[1][0] = None
+    matches[-2][0] = None
+
+    m_slow = pickle.loads(pickle.dumps(matches))   # plain list, no arrays
+    for group in (None, [im.name for im in proj.image_list[1:5]]):
+        fast = ba_setup.setup_from_matches(proj, matches, group_images=group,
+                                           min_chain_len=3)
+        slow = ba_setup.setup_from_matches(proj, m_slow, group_images=group,
+                                           min_chain_len=3)
+        _assert_setup_equal(fast, slow)
+
+
+def test_ba_setup_flat_detects_stale_arrays():
+    from imageanalysis_tpu.ba import setup as ba_setup
+
+    proj = _make_proj(np.random.default_rng(5))
+    for im in proj.image_list:
+        im.has_opt_pose = lambda: False
+    matches = cleanup.link_matches(proj)
+    cleanup.triangulate_ground(proj, matches)
+    del matches[0][2]                               # cull-style mutation
+    oracle = pickle.loads(pickle.dumps(matches))
+    fast = ba_setup.setup_from_matches(proj, matches, min_chain_len=3)
+    slow = ba_setup.setup_from_matches(proj, oracle, min_chain_len=3)
+    _assert_setup_equal(fast, slow)

@@ -86,7 +86,7 @@ def test_two_process_distributed_matching(tmp_path):
         if f.endswith(".match"):
             with open(os.path.join(meta, f), "rb") as fh:
                 ml = pickle.load(fh)
-            single[f] = {k: len(v) for k, v in ml.items() if v}
+            single[f] = {k: len(v) for k, v in ml.items() if len(v)}
             os.remove(os.path.join(meta, f))
     assert any(single.values())
 
@@ -114,7 +114,7 @@ def test_two_process_distributed_matching(tmp_path):
         if f.endswith(".match"):
             with open(os.path.join(meta, f), "rb") as fh:
                 ml = pickle.load(fh)
-            merged[f] = {k: len(v) for k, v in ml.items() if v}
+            merged[f] = {k: len(v) for k, v in ml.items() if len(v)}
     # same pair coverage as the single-process run
     for f, pairs in single.items():
         assert set(merged.get(f, {})) == set(pairs), (f, pairs, merged.get(f))

@@ -115,3 +115,27 @@ def test_geotiff_writer(tmp_path, rng):
     assert 0 < scale[0] < 1e-4  # deg/px for a 0.5 m/px-ish raster
     tie = struct.unpack("<6d", data[tags[33922][2]:tags[33922][2] + 48])
     assert abs(tie[4] - 44.97) < 0.01  # ul latitude near the reference
+
+
+def test_decimate_surface_passthrough_and_binning():
+    from imageanalysis_tpu.render.build_map import decimate_surface
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1000, (500, 2))
+    val = rng.normal(0, 3, 500)
+    p2, v2 = decimate_surface(pts, val, target=50_000)
+    assert p2 is not pts or len(p2) == 500        # under target: unchanged
+    assert np.allclose(p2, pts) and np.allclose(v2, val)
+
+    pts = rng.uniform(0, 1000, (40_000, 2))
+    val = 0.01 * pts[:, 0] + rng.normal(0, 0.1, 40_000)
+    p2, v2 = decimate_surface(pts, val, target=2_000)
+    assert len(p2) < 6_000
+    # cell means preserve the terrain trend
+    pred = 0.01 * p2[:, 0]
+    assert np.abs(v2 - pred).mean() < 0.2
+    # the interpolation domain does not shrink: raw hull verts are included
+    import scipy.spatial
+    hull_raw = scipy.spatial.ConvexHull(pts).volume
+    hull_dec = scipy.spatial.ConvexHull(p2).volume
+    assert hull_dec >= hull_raw * 0.999
