@@ -27,6 +27,7 @@ class DescriptorStore:
         uint8; L2 distances are shift-invariant) so pair matching runs on
         the int8 MXU with exact integer distances — 2× the bf16 matmul
         rate. 'uint8' (bf16 matmul) and 'float32' remain for comparison."""
+        import jax
         import jax.numpy as jnp
 
         images = images if images is not None else proj.image_list
@@ -54,37 +55,44 @@ class DescriptorStore:
         proj.undistort_all_keypoints(images)
 
         np_dtype = {"int8": np.int8, "uint8": np.uint8}.get(dtype, np.float32)
-        desc = np.zeros((n_img, npad, d), np_dtype)
-        if dtype == "int8":
-            desc[:] = 127   # = uint8 255 − 128: pad rows far from any real
-        elif dtype == "uint8":
-            desc[:] = 255   # pad rows far from any real descriptor
-        else:
-            desc[:] = 10000.0
+        pad_val = {"int8": 127, "uint8": 255}.get(dtype, 10000.0)
         uv = np.zeros((n_img, npad, 2), np.float32)
         n = np.zeros(n_img, np.int32)
-        for i, im in enumerate(images):
-            im.load_descriptors()
-            if im.uv_list is None:
-                proj.undistort_image_keypoints(im)
-            k = min(counts[i], npad)
-            if k:
-                dsc = im.des[:k]
-                if dtype == "int8":
-                    dsc = (np.clip(np.round(dsc), 0, 255)
-                           .astype(np.int16) - 128).astype(np.int8)
-                elif dtype == "uint8":
-                    dsc = np.clip(np.round(dsc), 0, 255).astype(np.uint8)
-                desc[i, :k] = dsc
-                uv[i, :k] = im.uv_list[:k]
-            n[i] = k
-            im.unload_descriptors()  # host copy no longer needed
+        # chunked ASYNC uploads: device_put dispatches the transfer and
+        # returns, so loading chunk i+1's descriptor pickles from disk
+        # overlaps chunk i's host→device copy — at mission scale the store
+        # upload (GBs over a ~40 MB/s tunnel) otherwise serializes after
+        # the full disk scan. One final on-device concat stitches chunks.
+        chunk = 256
+        chunks = []
+        for s in range(0, n_img, chunk):
+            e = min(s + chunk, n_img)
+            desc_c = np.full((e - s, npad, d), pad_val, np_dtype)
+            for i in range(s, e):
+                im = images[i]
+                im.load_descriptors()
+                if im.uv_list is None:
+                    proj.undistort_image_keypoints(im)
+                k = min(counts[i], npad)
+                if k:
+                    dsc = im.des[:k]
+                    if dtype == "int8":
+                        dsc = (np.clip(np.round(dsc), 0, 255)
+                               .astype(np.int16) - 128).astype(np.int8)
+                    elif dtype == "uint8":
+                        dsc = np.clip(np.round(dsc), 0, 255).astype(np.uint8)
+                    desc_c[i - s, :k] = dsc
+                    uv[i, :k] = im.uv_list[:k]
+                n[i] = k
+                im.unload_descriptors()  # host copy no longer needed
+            chunks.append(jax.device_put(desc_c))
 
         self.dtype = dtype
-        self.desc = jnp.asarray(desc)
+        self.desc = (chunks[0] if len(chunks) == 1
+                     else jnp.concatenate(chunks, axis=0))
         self.uv = jnp.asarray(uv)
         self.counts = jnp.asarray(n)
-        gb = desc.nbytes / 1e9
+        gb = n_img * npad * d * np.dtype(np_dtype).itemsize / 1e9
         log(f"descriptor store: {n_img} images × {npad} × {d} {dtype} "
             f"({gb:.2f} GB on device)")
 
