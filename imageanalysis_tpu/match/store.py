@@ -12,6 +12,8 @@ pays (B × npad × 128 f32 uploads per batch).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..io.logger import log
@@ -62,9 +64,17 @@ class DescriptorStore:
         # returns, so loading chunk i+1's descriptor pickles from disk
         # overlaps chunk i's host→device copy — at mission scale the store
         # upload (GBs over a ~40 MB/s tunnel) otherwise serializes after
-        # the full disk scan. One final on-device concat stitches chunks.
+        # the full disk scan. Chunks are staged into ONE preallocated
+        # device buffer via a donated dynamic_update_slice (in-place on
+        # TPU), so peak device memory stays ~1× the store size plus one
+        # chunk — a concat of all chunks would transiently hold ~2×.
         chunk = 256
-        chunks = []
+        store = jnp.full((n_img, npad, d), pad_val, dtype=np_dtype)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def _stage(buf, c, s):
+            return jax.lax.dynamic_update_slice(buf, c, (s, 0, 0))
+
         for s in range(0, n_img, chunk):
             e = min(s + chunk, n_img)
             desc_c = np.full((e - s, npad, d), pad_val, np_dtype)
@@ -85,11 +95,13 @@ class DescriptorStore:
                     uv[i, :k] = im.uv_list[:k]
                 n[i] = k
                 im.unload_descriptors()  # host copy no longer needed
-            chunks.append(jax.device_put(desc_c))
+            # chunk index arrives as a device scalar so every chunk size
+            # shares one compiled _stage (the tail chunk recompiles once)
+            store = _stage(store, jax.device_put(desc_c),
+                           jnp.int32(s))
 
         self.dtype = dtype
-        self.desc = (chunks[0] if len(chunks) == 1
-                     else jnp.concatenate(chunks, axis=0))
+        self.desc = store
         self.uv = jnp.asarray(uv)
         self.counts = jnp.asarray(n)
         gb = n_img * npad * d * np.dtype(np_dtype).itemsize / 1e9

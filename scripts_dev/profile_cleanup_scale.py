@@ -9,13 +9,14 @@ Usage: JAX_PLATFORMS=cpu python scripts_dev/profile_cleanup_scale.py [--n 2812]
 import argparse
 import cProfile
 import io
+import os
 import pstats
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class FakeImage:
