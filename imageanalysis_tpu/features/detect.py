@@ -171,20 +171,20 @@ def detect_scaled(scaled: np.ndarray, config: DetectorConfig):
 def _auto_device_batch(shape):
     """Images per TPU detect dispatch when DetectorConfig.device_batch=0.
 
-    B>1 amortizes the per-dispatch download RTT over the batch: measured
-    on hardware at mission scale (870x576, scale 0.4 of a 3 MP frame),
-    warm detect drops 260 -> 96 ms/img from B=1 to B=8
-    (scripts_dev/batch_detect_probe.py). But the pyramid fusion crashed
-    this runtime's TPU worker at B>1 near 3 MP (r2 bisect) AND at
-    1088x720 (0.78 MP) — the crash boundary is not simply total pixels,
-    so batching only engages inside the hardware-qualified region:
-    frames <= 0.56 MP (870x576 = mission scale 0.4 is qualified through
-    B=8 / 4 MP total), power-of-two B. Set device_batch explicitly to
-    override either way."""
+    B>1 amortizes the per-dispatch download RTT (and host/device pipeline
+    boundaries) over the batch: measured on hardware at mission scale
+    (870x576): 260 -> 96 ms/img from B=1 to B=8; at full mission
+    resolution (2176x1440): 298 -> 238 -> 209 ms/img for B=1/2/4
+    synchronous, B=8 upload-bound (scripts_dev/batch_detect_probe.py,
+    scripts_dev/crash_bisect.py r4 phase 2). Historical note: r2/r3
+    probes saw the TPU worker wedge at B>1 for 0.78-3 MP frames, so
+    batching was restricted to frames <= 0.56 MP; the r4 bisect could not
+    reproduce any wedge across pyramid-only/jnp-blur/no-upsample/full
+    configs through B=8 at 3.13 MP — it was a transient worker condition,
+    not a shape property. Policy: power-of-two B with B*area <= ~13 MP,
+    B <= 8. Set device_batch explicitly to override either way."""
     area = int(shape[0]) * int(shape[1])
-    if area > 560_000:
-        return 1
-    b = min(8, 4_000_000 // max(area, 1))
+    b = max(min(8, 13_000_000 // max(area, 1)), 1)
     return 1 << (b.bit_length() - 1)
 
 

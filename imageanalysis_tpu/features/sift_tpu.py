@@ -51,6 +51,12 @@ DESC_SCL_FCTR = 3.0    # cv2 SIFT_DESCR_SCL_FCTR (hist bin width = 3σ)
 PATCH = 64             # per-keypoint patch (covers max desc radius 30)
 
 
+# blur implementation selector: "auto" = Pallas row-blur kernel on TPU,
+# shifted-slice jnp elsewhere; "pallas"/"jnp" force one path (used by the
+# crash-boundary bisect in scripts_dev/crash_bisect.py)
+BLUR_IMPL = "auto"
+
+
 def _gauss_kernel(sigma):
     radius = max(int(math.ceil(3.0 * sigma)), 1)
     x = np.arange(-radius, radius + 1)
@@ -109,7 +115,9 @@ def _blur(img, sigma):
     up to full vector lanes (32× HBM blowup at mission sizes). Both
     paths sum taps in the same order (identical f32 arithmetic)."""
     k = _gauss_kernel(sigma)
-    if jax.default_backend() == "tpu":
+    use_pallas = (jax.default_backend() == "tpu" if BLUR_IMPL == "auto"
+                  else BLUR_IMPL == "pallas")
+    if use_pallas:
         y = _hblur_pallas(img, k)
         y = jnp.transpose(y, (0, 2, 1))
         y = _hblur_pallas(y, k)
@@ -559,9 +567,10 @@ def detect_dispatch(grays, max_features=4096, upsample=True,
     dispatch batch i, then download batch i−1 while the device works — on
     tunneled runtimes the per-image transfer (and its ~34 ms RTT) is a
     large slice of detector wall-clock; batching additionally amortizes
-    the RTT over B images. NOTE: this runtime's TPU worker crashes on the
-    pyramid fusion at B>1 near 3 MP (r2 bisect) — callers pick B by image
-    area (features/detect.py device_batch).
+    the RTT over B images. Callers pick B by total-pixel budget
+    (features/detect.py _auto_device_batch; the r2/r3 worker wedges at
+    B>1 near 3 MP did not reproduce in the r4 bisect — transient worker
+    condition, scripts_dev/crash_bisect.py).
 
     equalize=True runs cv2-equivalent CLAHE on DEVICE (ops/clahe.py)
     before detection — at mission resolution host cv2 CLAHE is ~80 ms of
@@ -638,13 +647,13 @@ def detect_and_compute_batch(grays: np.ndarray, max_features=4096,
     if max_chunk is None:
         import jax as _jax
         on_tpu = _jax.default_backend() == "tpu"
-        # the Gaussian-pyramid fusion at B>1, ~3 MP crashes this runtime's
-        # TPU worker (INTERNAL backend error — bisected to the pyramid
-        # stage alone, not top-k or slicing). The per-image graph is the
-        # stability boundary, so chunk to 1 on TPU; dispatches are async
-        # and results are only synced after all chunks are queued, so the
-        # chunks pipeline on device (CPU/interpret paths batch freely).
-        max_chunk = 1 if (on_tpu and H * W > 1_500_000) else len(imgs)
+        # chunk by total-pixel budget on TPU (B*area <= ~13 MP, same
+        # policy as features/detect.py _auto_device_batch; the r2/r3
+        # worker wedges at B>1 near 3 MP did not reproduce in the r4
+        # bisect). Dispatches are async and results only sync after all
+        # chunks are queued, so chunks pipeline on device.
+        max_chunk = (max(min(len(imgs), 13_000_000 // max(H * W, 1)), 1)
+                     if on_tpu else len(imgs))
     base_min = min(H, W) * (2 if upsample else 1)
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
