@@ -397,6 +397,13 @@ def _run(args) -> int:
 
 
 def main(argv=None):
+    # IMGTPU_PLATFORM=cpu pins jax to a backend before first use — needed
+    # because some TPU plugins (axon) ignore the JAX_PLATFORMS env var;
+    # lets the CLI run host-only when the accelerator is absent or flaky
+    plat = os.environ.get("IMGTPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     return run(args)
 

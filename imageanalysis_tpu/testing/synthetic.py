@@ -201,17 +201,29 @@ class SyntheticMission:
         q_mount = quat_from_ypr(0.0, -90.0 * D2R, 0.0)
         return np.asarray(quat_multiply(q_ac, q_mount))
 
-    def _render(self, cv2, tex, S, ned, ac_ypr, name):
+    def world_to_image_H(self, ned, ac_ypr):
+        """Ground-truth homography world plane (n, e, 1) → image pixels.
+
+        This is the exact map the renderer uses; evaluators (e.g.
+        parity/run_parity.py) must call this rather than re-deriving it."""
         q_cam = self.camera_quat(ac_ypr)
         B = np.asarray(quat_to_matrix(q_cam))          # body→NED
         R = np.asarray(CAM2BODY).T @ B.T               # NED→cam
-        # ground point (n, e, 0): x_cam = R[:, :2]·(n,e) + R·(−ned)... plus
-        # translation t = −R·ned ⇒ homography world-plane→image:
+        # ground point (n, e, 0): x_cam = R[:, :2]·(n,e) + R·(−ned) ⇒
+        # homography world-plane→image with t = −R·ned:
         t = -R @ ned
-        H_world = self.K @ np.column_stack([R[:, 0], R[:, 1], t])
-        H = H_world @ S
+        return self.K @ np.column_stack([R[:, 0], R[:, 1], t])
+
+    def _render(self, cv2, tex, S, ned, ac_ypr, name):
+        H = self.world_to_image_H(ned, ac_ypr) @ S
         img = cv2.warpPerspective(tex, H, (self.w, self.h),
                                   flags=cv2.INTER_LINEAR)
+        # write 3-channel JPGs: single-channel files break consumers that
+        # load with IMREAD_ANYCOLOR + a BGR colorspace convert (reference
+        # image.py:99-127 load_rgb/load_gray); luma is unchanged so
+        # detectors see identical pixels
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
         cv2.imwrite(os.path.join(self.project_dir, name), img,
                     [cv2.IMWRITE_JPEG_QUALITY, 95])
 
