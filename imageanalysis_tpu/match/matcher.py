@@ -70,7 +70,7 @@ def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("transform", "n_hyp", "use_pallas", "bf16"))
+@functools.partial(jax.jit, static_argnames=("ratio", "transform", "n_hyp", "use_pallas", "bf16"))
 def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
                      ratio=0.75, thresh=3.0, transform="homography",
                      n_hyp=512, use_pallas=False, bf16=True):
@@ -110,7 +110,8 @@ def match_pair_batch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("transform", "n_hyp", "use_pallas", "bf16"))
+                   static_argnames=("ratio", "transform", "n_hyp",
+                                    "use_pallas", "bf16"))
 def match_pair_batch_packed(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
                             ratio=0.75, thresh=3.0, transform="homography",
                             n_hyp=512, use_pallas=False, bf16=True):
@@ -191,8 +192,8 @@ def _predict_uv_in_a(uv_b, cam_a, cam_b, ground_z, K):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("transform", "n_hyp", "use_pallas",
-                                    "bf16", "gate_radius"))
+                   static_argnames=("ratio", "transform", "n_hyp",
+                                    "use_pallas", "bf16", "gate_radius"))
 def match_pair_batch_gated(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
                            cam_a, cam_b, ground_z, ratio=0.75, thresh=3.0,
                            transform="homography", n_hyp=512,

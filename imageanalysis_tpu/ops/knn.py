@@ -28,11 +28,17 @@ their own results are garbage to be masked by the caller (see pad_descriptors).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# A/B switch for the fused ratio/mutual/coordinate-pick epilogue
+# (_knn_kernel_fused); set IMGTPU_FUSED_EPILOGUE=0 to fall back to the
+# decode + one-hot-MXU epilogue in match_pair_dense.
+_FUSED_EPILOGUE = os.environ.get("IMGTPU_FUSED_EPILOGUE", "1") != "0"
 
 PAD_VALUE = 1.0e4  # descriptor fill for padded rows; SIFT values are ≤ 512
 
@@ -187,6 +193,195 @@ def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, *rest, tile_a,
     @pl.when(ia > 0)
     def _():
         col_ref[:, sl] = jnp.minimum(colkey, col_ref[:, sl])
+
+
+def _knn_kernel_fused(a_ref, b_ref, na2_ref, nb2_ref, uvbt_ref, *rest,
+                      tile_a, n_b, n_ia, ratio2, radius2=None):
+    """Packed-key 2-NN with the whole match epilogue fused in.
+
+    Requires the full B axis in one tile (n_b lanes resident). Grid is
+    (n_ia + 1): steps < n_ia run the distance matmul, store each row
+    tile's packed top-2 into VMEM scratch (rows are final immediately —
+    single B tile), and accumulate the packed column-min; the final step
+    replays the stored row keys to emit, per A row, the matched B index,
+    the ratio+mutual validity, and the matched B keypoint coords — the
+    Lowe ratio (reference matcher.py:239-257), the bidirectional
+    cross-check (matcher.py:187-201), and the coordinate pick that the
+    unfused path reconstructs outside the kernel with one-hot MXU dots
+    (match_pair_dense). The epilogue gather is a one-hot masked lane-min
+    against the resident column keys: exactly one lane matches per row
+    because packed row keys carry the column index in their low bits.
+
+    uvbt_ref: (2, n_b) TRANSPOSED B keypoint coords (lane-major so the
+    epilogue reads natural (1, n_b) row vectors without a relayout)."""
+    if radius2 is not None:
+        ua_ref, pb_ref, bj_ref, ok_ref, pbout_ref, rows_ref, colk_ref = rest
+    else:
+        bj_ref, ok_ref, pbout_ref, rows_ref, colk_ref = rest
+    ia = pl.program_id(0)
+
+    @pl.when(ia < n_ia)
+    def _main():
+        dn = (((1,), (1,)), ((), ()))
+        if a_ref.dtype == jnp.int8:
+            ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                                     preferred_element_type=jnp.int32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            na2 = na2_ref[:][:, 0]
+            nb2 = nb2_ref[:][:, 0]
+            d2 = (na2[:, None] + nb2[None, :] - 2 * ab).astype(jnp.float32)
+        else:
+            ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
+                                     preferred_element_type=jnp.float32,
+                                     precision=jax.lax.Precision.DEFAULT)
+            na2 = na2_ref[:][:, 0]
+            nb2 = nb2_ref[:][:, 0]
+            d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
+
+        bits = jax.lax.bitcast_convert_type(d2, jnp.int32) \
+            & jnp.int32(~_IDX_MASK)
+        if radius2 is not None:
+            ua = ua_ref[:]
+            pb = pb_ref[:]
+            dx = ua[:, 0][:, None] - pb[:, 0][None, :]
+            dy = ua[:, 1][:, None] - pb[:, 1][None, :]
+            gated_out = dx * dx + dy * dy > radius2
+            bits = jnp.where(gated_out, jnp.int32(_KEY_MAX & ~_IDX_MASK),
+                             bits)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 1)
+        rowkey = bits | cols
+        m1 = jnp.min(rowkey, axis=1)
+        masked = jnp.where(rowkey == m1[:, None], jnp.int32(_KEY_MAX),
+                           rowkey)
+        m2 = jnp.min(masked, axis=1)
+        rows_ref[pl.ds(ia * tile_a, tile_a), :] = jnp.concatenate(
+            [m1[:, None], m2[:, None]], axis=1)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 0) \
+            + ia * tile_a
+        colkey = jnp.min(bits | rows, axis=0)[None, :]
+
+        @pl.when(ia == 0)
+        def _():
+            colk_ref[:] = colkey
+
+        @pl.when(ia > 0)
+        def _():
+            colk_ref[:] = jnp.minimum(colk_ref[:], colkey)
+
+    @pl.when(ia == n_ia)
+    def _epilogue():
+        colk = colk_ref[:]                                 # (1, n_b)
+        u_row = uvbt_ref[0:1, :]                           # (1, n_b)
+        v_row = uvbt_ref[1:2, :]
+        vmask = jnp.int32(~_IDX_MASK)
+        for c in range(n_ia):
+            rk = rows_ref[pl.ds(c * tile_a, tile_a), :]    # (tile_a, 2)
+            k1 = rk[:, 0]
+            k2 = rk[:, 1]
+            j = k1 & _IDX_MASK
+            d1 = jax.lax.bitcast_convert_type(k1 & vmask, jnp.float32)
+            d2v = jax.lax.bitcast_convert_type(k2 & vmask, jnp.float32)
+            okc = jnp.maximum(d1, 0.0) < ratio2 * jnp.maximum(d2v, 0.0)
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 1)
+            oneh = j[:, None] == iota_b
+            picked_k = jnp.min(
+                jnp.where(oneh, jnp.broadcast_to(colk, (tile_a, n_b)),
+                          jnp.int32(_KEY_MAX)), axis=1)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (tile_a, 1), 0)[:, 0] \
+                + c * tile_a
+            okc &= (picked_k & _IDX_MASK) == gi
+            big = jnp.float32(3.0e38)
+            pu = jnp.min(jnp.where(
+                oneh, jnp.broadcast_to(u_row, (tile_a, n_b)), big), axis=1)
+            pv = jnp.min(jnp.where(
+                oneh, jnp.broadcast_to(v_row, (tile_a, n_b)), big), axis=1)
+            sl = pl.ds(c * tile_a, tile_a)
+            bj_ref[sl, :] = j[:, None]
+            ok_ref[sl, :] = okc.astype(jnp.int32)[:, None]
+            pbout_ref[sl, :] = jnp.concatenate(
+                [pu[:, None], pv[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "gate_radius"))
+def knn_match_fused(desc_a, desc_b, uv_b, ratio=0.75, gate_uv_a=None,
+                    gate_pred_b=None, gate_radius=0.0):
+    """Fused 2-NN + ratio + mutual + coordinate pick (packed-key kernel).
+
+    Returns (best_j (n_a,) int32, ok (n_a,) bool, pb (n_a, 2) f32) with the
+    same semantics as match_pair_dense's decode+one-hot epilogue; callers
+    still mask padded rows (arange < n_a, best_j < n_b). Constraints: the
+    packed-key limits (n ≤ 8192) and the full B axis in one VMEM tile."""
+    n_a, d = desc_a.shape
+    n_b = desc_b.shape[0]
+    int8_in = desc_a.dtype == jnp.int8
+    tile_a = next(ta for ta in (256, 128, 64, 32, 8)
+                  if n_a % ta == 0 and ta * n_b * 12 <= 15 * 1024 * 1024)
+    n_ia = n_a // tile_a
+
+    if int8_in:
+        na2 = jnp.sum(jnp.square(desc_a.astype(jnp.int32)), axis=-1,
+                      keepdims=True)
+        nb2 = jnp.sum(jnp.square(desc_b.astype(jnp.int32)), axis=-1,
+                      keepdims=True)
+        in_dtype = jnp.int8
+    else:
+        na2 = jnp.sum(desc_a.astype(jnp.float32) ** 2, axis=-1,
+                      keepdims=True)
+        nb2 = jnp.sum(desc_b.astype(jnp.float32) ** 2, axis=-1,
+                      keepdims=True)
+        in_dtype = jnp.bfloat16
+
+    gated = gate_radius > 0.0 and gate_uv_a is not None
+    kernel = functools.partial(
+        _knn_kernel_fused, tile_a=tile_a, n_b=n_b, n_ia=n_ia,
+        ratio2=float(ratio) ** 2,
+        radius2=float(gate_radius) ** 2 if gated else None)
+    last = n_ia - 1
+    in_specs = [
+        pl.BlockSpec((tile_a, d), lambda ia: (min(ia, last)
+                                              if isinstance(ia, int)
+                                              else jnp.minimum(ia, last), 0)),
+        pl.BlockSpec((n_b, d), lambda ia: (0, 0)),
+        pl.BlockSpec((tile_a, 1), lambda ia: (min(ia, last)
+                                              if isinstance(ia, int)
+                                              else jnp.minimum(ia, last), 0)),
+        pl.BlockSpec((n_b, 1), lambda ia: (0, 0)),
+        pl.BlockSpec((2, n_b), lambda ia: (0, 0)),
+    ]
+    inputs = [desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2,
+              jnp.swapaxes(uv_b.astype(jnp.float32), 0, 1)]
+    if gated:
+        in_specs += [
+            pl.BlockSpec((tile_a, 2), lambda ia: (min(ia, last)
+                                                  if isinstance(ia, int)
+                                                  else jnp.minimum(ia, last),
+                                                  0)),
+            pl.BlockSpec((n_b, 2), lambda ia: (0, 0)),
+        ]
+        inputs += [gate_uv_a.astype(jnp.float32),
+                   gate_pred_b.astype(jnp.float32)]
+    bj, okf, pb = pl.pallas_call(
+        kernel,
+        grid=(n_ia + 1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((n_a, 1), lambda ia: (0, 0)),
+            pl.BlockSpec((n_a, 1), lambda ia: (0, 0)),
+            pl.BlockSpec((n_a, 2), lambda ia: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_a, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_a, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_a, 2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_a, 2), jnp.int32),
+            pltpu.VMEM((1, n_b), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
+    return bj[:, 0], okf[:, 0].astype(bool), pb
 
 
 def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
@@ -417,8 +612,8 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True,
 # Match assembly (ratio test + mutual cross-check), dense form
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("use_pallas", "bf16", "mutual",
-                                             "gate_radius"))
+@functools.partial(jax.jit, static_argnames=("ratio", "use_pallas", "bf16",
+                                             "mutual", "gate_radius"))
 def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
                      use_pallas=False, bf16=True, gate_uv_a=None,
                      gate_pred_b=None, gate_radius=0.0, uv_b=None):
@@ -441,6 +636,17 @@ def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
     (scripts_dev/pb_gather_ab.py: separate dots cost +2.3 ms/64-batch).
     """
     gate_ok = max(desc_a.shape[0], desc_b.shape[0]) <= (1 << _IDX_BITS)
+    if (use_pallas and mutual and uv_b is not None and gate_ok
+            and _FUSED_EPILOGUE and desc_a.shape[0] % 8 == 0):
+        # single-launch path: ratio + mutual + coordinate pick emitted by
+        # the kernel itself (see _knn_kernel_fused)
+        best_j, ok, pb = knn_match_fused(
+            desc_a, desc_b, uv_b, ratio=ratio, gate_uv_a=gate_uv_a,
+            gate_pred_b=gate_pred_b, gate_radius=gate_radius)
+        arange_a = jnp.arange(desc_a.shape[0], dtype=jnp.int32)
+        ok &= arange_a < n_a
+        ok &= best_j < n_b
+        return best_j, ok, pb
     if use_pallas and (gate_radius <= 0.0 or gate_ok):
         row_d, row_i, col_d, col_i = knn_top2(
             desc_a, desc_b, bf16=bf16, gate_uv_a=gate_uv_a,

@@ -246,9 +246,11 @@ def sharded_detect(mesh: Mesh, per_octave, n_octaves, axis="dp"):
 # Sharded pair matching
 # ---------------------------------------------------------------------------
 
-def sharded_match_pair_batch(mesh: Mesh, axis="dp", **static_kwargs):
+def sharded_match_pair_batch(mesh: Mesh, axis="dp", ratio=0.75, thresh=3.0,
+                             **static_kwargs):
     """The batched matcher with its pair axis sharded over the mesh: each
-    chip matches batch_size/n_devices pairs, no communication."""
+    chip matches batch_size/n_devices pairs, no communication. ratio is
+    compile-time (it bakes into the fused match kernel)."""
     from ..match.matcher import match_pair_batch
 
     pair_sh = NamedSharding(mesh, P(axis))
@@ -256,8 +258,7 @@ def sharded_match_pair_batch(mesh: Mesh, axis="dp", **static_kwargs):
 
     inner = match_pair_batch.__wrapped__  # unjitted impl
 
-    def fn(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K, ratio=0.75,
-           thresh=3.0):
+    def fn(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K):
         return inner(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
                      ratio=ratio, thresh=thresh, **static_kwargs)
 

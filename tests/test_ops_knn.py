@@ -144,6 +144,79 @@ def test_knn_int8_matches_f32_oracle(rng):
     assert np.array_equal(np.asarray(bj_i)[both], np.asarray(bj_f)[both])
 
 
+def test_knn_match_fused_matches_unfused(rng):
+    """_knn_kernel_fused (in-kernel ratio/mutual/uv-pick epilogue) must
+    reproduce the decode + one-hot epilogue of match_pair_dense exactly:
+    same survivors, same best indices, same picked coords."""
+    a, b = make_descs(rng, 300, 400, d=128, overlap=150)
+    pa = knn.pad_descriptors(jnp.asarray(a), 512)
+    pb = knn.pad_descriptors(jnp.asarray(b), 512)
+    uv_b = jnp.asarray(rng.uniform(0, 4000, (512, 2)).astype(np.float32))
+    bj_u, ok_u, pb_u = knn.match_pair_dense(pa, pb, 300, 400, bf16=True,
+                                            use_pallas=False, uv_b=uv_b)
+    bj_f, ok_f, pb_f = knn.knn_match_fused(pa, pb, uv_b, ratio=0.75)
+    ok_f = np.asarray(ok_f) & (np.arange(512) < 300) & (np.asarray(bj_f) < 400)
+    # unfused uses the unpacked f32 kernel; fused packs 13 index bits into
+    # the mantissa — survivors may differ only on ratio-test edge ties
+    ok_u = np.asarray(ok_u)
+    agree = ok_u == ok_f
+    assert agree.mean() > 0.99, agree.mean()
+    both = ok_u & ok_f
+    assert both.sum() > 100
+    np.testing.assert_array_equal(np.asarray(bj_f)[both],
+                                  np.asarray(bj_u)[both])
+    np.testing.assert_array_equal(np.asarray(pb_f)[both],
+                                  np.asarray(pb_u)[both])
+
+
+def test_knn_match_fused_packed_exact(rng):
+    """Against the packed-kernel unfused path (int8: identical truncated
+    distances on both sides) the fused epilogue must be bit-identical."""
+    a8 = rng.integers(0, 256, (512, 128)).astype(np.uint8)
+    b8 = rng.integers(0, 256, (640, 128)).astype(np.uint8)
+    b8[:200] = np.clip(a8[:200].astype(int)
+                       + rng.integers(-3, 4, (200, 128)), 0, 255)
+    ai = jnp.asarray((a8.astype(np.int16) - 128).astype(np.int8))
+    bi = jnp.asarray((b8.astype(np.int16) - 128).astype(np.int8))
+    uv_b = jnp.asarray(rng.uniform(0, 4000, (640, 2)).astype(np.float32))
+    # unfused packed path: knn_top2 decode + epilogue by hand
+    row_d, row_i, col_d, col_i = knn.knn_top2(ai, bi)
+    best_j = np.asarray(row_i)[:, 0]
+    d1 = np.maximum(np.asarray(row_d)[:, 0], 0.0)
+    d2 = np.maximum(np.asarray(row_d)[:, 1], 0.0)
+    ok_u = (d1 < 0.75 ** 2 * d2) & (np.asarray(col_i)[best_j]
+                                    == np.arange(512))
+    bj_f, ok_f, pb_f = knn.knn_match_fused(ai, bi, uv_b, ratio=0.75)
+    np.testing.assert_array_equal(np.asarray(bj_f), best_j)
+    np.testing.assert_array_equal(np.asarray(ok_f), ok_u)
+    expect_uv = np.asarray(uv_b)[best_j]
+    np.testing.assert_array_equal(np.asarray(pb_f), expect_uv)
+
+
+def test_knn_match_fused_gated(rng):
+    """Fused epilogue + spatial gating: same twin-disambiguation behavior
+    as the gated packed kernel."""
+    n, d = 256, 128
+    base = rng.integers(0, 200, (n // 2, d))
+    noise = lambda: rng.integers(-2, 3, (n // 2, d))
+    a8 = np.clip(np.concatenate([base + noise(), base + noise()]), 0, 255)
+    b8 = np.clip(np.concatenate([base + noise(), base + noise()]), 0, 255)
+    ai = jnp.asarray((a8 - 128).astype(np.int8))
+    bi = jnp.asarray((b8 - 128).astype(np.int8))
+    uv_a = np.zeros((n, 2), np.float32)
+    uv_a[:, 0] = 100.0 + 500.0 * (np.arange(n) >= n // 2)
+    uv_a[:, 1] = np.tile(np.arange(n // 2) * 3.0, 2)
+    uv_b = jnp.asarray(uv_a + 1.0)
+    bj, ok, pb = knn.knn_match_fused(ai, bi, uv_b, ratio=0.75,
+                                     gate_uv_a=jnp.asarray(uv_a),
+                                     gate_pred_b=jnp.asarray(uv_a),
+                                     gate_radius=50.0)
+    bj, ok = np.asarray(bj), np.asarray(ok)
+    assert ok.sum() > 0.9 * n
+    assert np.array_equal(bj[ok], np.arange(n)[ok])
+    np.testing.assert_array_equal(np.asarray(pb)[ok], np.asarray(uv_b)[ok])
+
+
 def test_knn_gated_disambiguates_twins(rng):
     """Spatial gating: plant TWIN descriptor pairs (identical up to noise)
     so the ratio test alone rejects every match; the position prior must
