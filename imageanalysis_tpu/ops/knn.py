@@ -195,129 +195,128 @@ def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, *rest, tile_a,
         col_ref[:, sl] = jnp.minimum(colkey, col_ref[:, sl])
 
 
-def _knn_kernel_fused(a_ref, b_ref, na2_ref, nb2_ref, uvbt_ref, *rest,
-                      tile_a, n_b, n_ia, ratio2, radius2=None):
-    """Packed-key 2-NN with the whole match epilogue fused in.
-
-    Requires the full B axis in one tile (n_b lanes resident). Grid is
-    (n_ia + 1): steps < n_ia run the distance matmul, store each row
-    tile's packed top-2 into VMEM scratch (rows are final immediately —
-    single B tile), and accumulate the packed column-min; the final step
-    replays the stored row keys to emit, per A row, the matched B index,
-    the ratio+mutual validity, and the matched B keypoint coords — the
-    Lowe ratio (reference matcher.py:239-257), the bidirectional
-    cross-check (matcher.py:187-201), and the coordinate pick that the
-    unfused path reconstructs outside the kernel with one-hot MXU dots
-    (match_pair_dense). The epilogue gather is a one-hot masked lane-min
-    against the resident column keys: exactly one lane matches per row
-    because packed row keys carry the column index in their low bits.
-
-    uvbt_ref: (2, n_b) TRANSPOSED B keypoint coords (lane-major so the
-    epilogue reads natural (1, n_b) row vectors without a relayout)."""
+def _knn_packed_raw(desc_a, desc_b, na2, nb2, tile_a, tile_b,
+                    gate_uv_a=None, gate_pred_b=None, radius2=None):
+    """The packed-key pallas_call with RAW packed outputs: row_p (n_a, 2)
+    int32 (top-2 packed keys per A row), col_p (1, n_b) int32 (packed
+    column champion per B row). Descriptors arrive pre-cast; norms
+    precomputed. Shared by knn_top2 (which decodes) and knn_match_fused
+    (which feeds the epilogue kernel)."""
+    n_a, d = desc_a.shape
+    n_b = desc_b.shape[0]
+    kernel = functools.partial(_knn_kernel_packed, tile_a=tile_a,
+                               tile_b=tile_b, radius2=radius2)
+    in_specs = [
+        pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
+        pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
+        pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
+        pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
+    ]
+    inputs = [desc_a, desc_b, na2, nb2]
     if radius2 is not None:
-        ua_ref, pb_ref, bj_ref, ok_ref, pbout_ref, rows_ref, colk_ref = rest
-    else:
-        bj_ref, ok_ref, pbout_ref, rows_ref, colk_ref = rest
-    ia = pl.program_id(0)
+        in_specs += [
+            pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((tile_b, 2), lambda ia, ib: (ib, 0)),
+        ]
+        inputs += [gate_uv_a.astype(jnp.float32),
+                   gate_pred_b.astype(jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_a // tile_a, n_b // tile_b),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
+            pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_a, 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_b), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_a, 1), jnp.int32),
+            pltpu.VMEM((tile_a, 1), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*inputs)
 
-    @pl.when(ia < n_ia)
-    def _main():
-        dn = (((1,), (1,)), ((), ()))
-        if a_ref.dtype == jnp.int8:
-            ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
-                                     preferred_element_type=jnp.int32,
-                                     precision=jax.lax.Precision.DEFAULT)
-            na2 = na2_ref[:][:, 0]
-            nb2 = nb2_ref[:][:, 0]
-            d2 = (na2[:, None] + nb2[None, :] - 2 * ab).astype(jnp.float32)
-        else:
-            ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
-                                     preferred_element_type=jnp.float32,
-                                     precision=jax.lax.Precision.DEFAULT)
-            na2 = na2_ref[:][:, 0]
-            nb2 = nb2_ref[:][:, 0]
-            d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
 
-        bits = jax.lax.bitcast_convert_type(d2, jnp.int32) \
-            & jnp.int32(~_IDX_MASK)
-        if radius2 is not None:
-            ua = ua_ref[:]
-            pb = pb_ref[:]
-            dx = ua[:, 0][:, None] - pb[:, 0][None, :]
-            dy = ua[:, 1][:, None] - pb[:, 1][None, :]
-            gated_out = dx * dx + dy * dy > radius2
-            bits = jnp.where(gated_out, jnp.int32(_KEY_MAX & ~_IDX_MASK),
-                             bits)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 1)
-        rowkey = bits | cols
-        m1 = jnp.min(rowkey, axis=1)
-        masked = jnp.where(rowkey == m1[:, None], jnp.int32(_KEY_MAX),
-                           rowkey)
-        m2 = jnp.min(masked, axis=1)
-        rows_ref[pl.ds(ia * tile_a, tile_a), :] = jnp.concatenate(
-            [m1[:, None], m2[:, None]], axis=1)
+def _match_epilogue_kernel(rowp_ref, vals_ref, bj_ref, ok_ref,
+                           pb_ref, *, tile_e, n_b, ratio2):
+    """Decode packed 2-NN outputs into (best_j, ratio+mutual ok, picked uv).
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 0) \
-            + ia * tile_a
-        colkey = jnp.min(bits | rows, axis=0)[None, :]
+    Replaces the XLA glue after the packed kernel (the decode + one-hot MXU
+    dots in match_pair_dense) with one tiny Pallas pass over row tiles: the
+    Lowe ratio (reference matcher.py:239-257) on the truncated packed
+    values, the bidirectional cross-check (matcher.py:187-201), and the
+    matched-coordinate pick. The gathers col_i[best_j] and uv_b[best_j] are
+    one one-hot MXU dot — exactly one lane matches per row because packed
+    row keys carry the column index in their low bits.
 
-        @pl.when(ia == 0)
-        def _():
-            colk_ref[:] = colkey
+    Mosaic lowers this dot in DEFAULT (single-pass bf16) precision, which
+    truncates operands to 8 mantissa bits — enough to silently corrupt
+    picked indices ≥ 257 and uv coords (±8 px at 4k-px coords; measured
+    on-chip, scripts_dev/fused_parity_tpu.py). So every gathered value is
+    pre-split into bf16-EXACT components and recombined after the dot:
+    the column index as two ≤8-bit integer limbs (hi = i >> 8, lo = i & 255)
+    and each uv coordinate as a Dekker-style f32 = hi + mid + lo triple of
+    bf16-roundable parts (built outside, see knn_match_fused). One-hot
+    entries are exactly 1.0 and each output row has a single nonzero
+    product, so the f32 accumulation is exact.
 
-        @pl.when(ia > 0)
-        def _():
-            colk_ref[:] = jnp.minimum(colk_ref[:], colkey)
-
-    @pl.when(ia == n_ia)
-    def _epilogue():
-        colk = colk_ref[:]                                 # (1, n_b)
-        u_row = uvbt_ref[0:1, :]                           # (1, n_b)
-        v_row = uvbt_ref[1:2, :]
-        vmask = jnp.int32(~_IDX_MASK)
-        for c in range(n_ia):
-            rk = rows_ref[pl.ds(c * tile_a, tile_a), :]    # (tile_a, 2)
-            k1 = rk[:, 0]
-            k2 = rk[:, 1]
-            j = k1 & _IDX_MASK
-            d1 = jax.lax.bitcast_convert_type(k1 & vmask, jnp.float32)
-            d2v = jax.lax.bitcast_convert_type(k2 & vmask, jnp.float32)
-            okc = jnp.maximum(d1, 0.0) < ratio2 * jnp.maximum(d2v, 0.0)
-            iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile_a, n_b), 1)
-            oneh = j[:, None] == iota_b
-            picked_k = jnp.min(
-                jnp.where(oneh, jnp.broadcast_to(colk, (tile_a, n_b)),
-                          jnp.int32(_KEY_MAX)), axis=1)
-            gi = jax.lax.broadcasted_iota(jnp.int32, (tile_a, 1), 0)[:, 0] \
-                + c * tile_a
-            okc &= (picked_k & _IDX_MASK) == gi
-            big = jnp.float32(3.0e38)
-            pu = jnp.min(jnp.where(
-                oneh, jnp.broadcast_to(u_row, (tile_a, n_b)), big), axis=1)
-            pv = jnp.min(jnp.where(
-                oneh, jnp.broadcast_to(v_row, (tile_a, n_b)), big), axis=1)
-            sl = pl.ds(c * tile_a, tile_a)
-            bj_ref[sl, :] = j[:, None]
-            ok_ref[sl, :] = okc.astype(jnp.int32)[:, None]
-            pbout_ref[sl, :] = jnp.concatenate(
-                [pu[:, None], pv[:, None]], axis=1)
+    vals_ref: (8, n_b) rows [c_hi, c_lo, u_hi, v_hi, u_mid, v_mid, u_lo,
+    v_lo], built in XLA between the launches (_epilogue_vals) — lane-major
+    so epilogue rows read without relayout, and a full 8-sublane f32 tile
+    (an in-kernel concat of (1,n)+(1,n)+(6,n) sublane blocks silently
+    zeroed the last 4 rows on Mosaic; measured, scripts_dev/
+    fused_parity_tpu.py). A fully-fused single-kernel variant OOMed scoped
+    VMEM under vmap at mission shapes (27.1 MB at B=64, n_b=6144; see
+    ROUND4_NOTES.md), so the epilogue is its own launch."""
+    ie = pl.program_id(0)
+    vmask = jnp.int32(~_IDX_MASK)
+    rk = rowp_ref[:]                                       # (tile_e, 2)
+    k1 = rk[:, 0]
+    k2 = rk[:, 1]
+    j = k1 & _IDX_MASK
+    d1 = jax.lax.bitcast_convert_type(k1 & vmask, jnp.float32)
+    d2v = jax.lax.bitcast_convert_type(k2 & vmask, jnp.float32)
+    okc = jnp.maximum(d1, 0.0) < ratio2 * jnp.maximum(d2v, 0.0)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile_e, n_b), 1)
+    oneh = (j[:, None] == iota_b).astype(jnp.float32)
+    picked = jax.lax.dot_general(oneh, vals_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (tile_e, 1), 0)[:, 0] \
+        + ie * tile_e
+    pc = picked[:, 0] * 256.0 + picked[:, 1]
+    okc &= pc.astype(jnp.int32) == gi
+    pu = (picked[:, 2] + picked[:, 4]) + picked[:, 6]
+    pv = (picked[:, 3] + picked[:, 5]) + picked[:, 7]
+    bj_ref[:] = j[:, None]
+    ok_ref[:] = okc.astype(jnp.int32)[:, None]
+    pb_ref[:] = jnp.concatenate([pu[:, None], pv[:, None]], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("ratio", "gate_radius"))
 def knn_match_fused(desc_a, desc_b, uv_b, ratio=0.75, gate_uv_a=None,
                     gate_pred_b=None, gate_radius=0.0):
-    """Fused 2-NN + ratio + mutual + coordinate pick (packed-key kernel).
+    """2-NN + ratio + mutual + coordinate pick in two Pallas launches.
 
-    Returns (best_j (n_a,) int32, ok (n_a,) bool, pb (n_a, 2) f32) with the
-    same semantics as match_pair_dense's decode+one-hot epilogue; callers
-    still mask padded rows (arange < n_a, best_j < n_b). Constraints: the
-    packed-key limits (n ≤ 8192) and the full B axis in one VMEM tile."""
+    Launch 1 is the packed-key streaming kernel (raw packed outputs);
+    launch 2 is _match_epilogue_kernel. Returns (best_j (n_a,) int32,
+    ok (n_a,) bool, pb (n_a, 2) f32) with the same semantics as
+    match_pair_dense's decode+one-hot epilogue; callers still mask padded
+    rows (arange < n_a, best_j < n_b). Constraint: packed-key limits
+    (n ≤ 8192)."""
     n_a, d = desc_a.shape
     n_b = desc_b.shape[0]
     int8_in = desc_a.dtype == jnp.int8
-    tile_a = next(ta for ta in (256, 128, 64, 32, 8)
-                  if n_a % ta == 0 and ta * n_b * 12 <= 15 * 1024 * 1024)
-    n_ia = n_a // tile_a
+    tile_a = None
+    for ta in (256, 128, 64):
+        if n_a % ta == 0 and ta * n_b * 12 <= 15 * 1024 * 1024:
+            tile_a = ta
+            break
+    if tile_a is None:
+        tile_a = next((t for t in (256, 128, 64) if n_a % t == 0), n_a)
 
     if int8_in:
         na2 = jnp.sum(jnp.square(desc_a.astype(jnp.int32)), axis=-1,
@@ -333,55 +332,66 @@ def knn_match_fused(desc_a, desc_b, uv_b, ratio=0.75, gate_uv_a=None,
         in_dtype = jnp.bfloat16
 
     gated = gate_radius > 0.0 and gate_uv_a is not None
-    kernel = functools.partial(
-        _knn_kernel_fused, tile_a=tile_a, n_b=n_b, n_ia=n_ia,
-        ratio2=float(ratio) ** 2,
+    row_p, col_p = _knn_packed_raw(
+        desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2,
+        tile_a, n_b, gate_uv_a=gate_uv_a, gate_pred_b=gate_pred_b,
         radius2=float(gate_radius) ** 2 if gated else None)
-    last = n_ia - 1
-    in_specs = [
-        pl.BlockSpec((tile_a, d), lambda ia: (min(ia, last)
-                                              if isinstance(ia, int)
-                                              else jnp.minimum(ia, last), 0)),
-        pl.BlockSpec((n_b, d), lambda ia: (0, 0)),
-        pl.BlockSpec((tile_a, 1), lambda ia: (min(ia, last)
-                                              if isinstance(ia, int)
-                                              else jnp.minimum(ia, last), 0)),
-        pl.BlockSpec((n_b, 1), lambda ia: (0, 0)),
-        pl.BlockSpec((2, n_b), lambda ia: (0, 0)),
-    ]
-    inputs = [desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2,
-              jnp.swapaxes(uv_b.astype(jnp.float32), 0, 1)]
-    if gated:
-        in_specs += [
-            pl.BlockSpec((tile_a, 2), lambda ia: (min(ia, last)
-                                                  if isinstance(ia, int)
-                                                  else jnp.minimum(ia, last),
-                                                  0)),
-            pl.BlockSpec((n_b, 2), lambda ia: (0, 0)),
-        ]
-        inputs += [gate_uv_a.astype(jnp.float32),
-                   gate_pred_b.astype(jnp.float32)]
+
+    # ~4 live (tile_e, n_b) temporaries (iota, compare, f32 one-hot) in
+    # the epilogue
+    tile_e = next(te for te in (256, 128, 64, 32, 8)
+                  if n_a % te == 0 and te * n_b * 16 <= 15 * 1024 * 1024)
     bj, okf, pb = pl.pallas_call(
-        kernel,
-        grid=(n_ia + 1,),
-        in_specs=in_specs,
+        functools.partial(_match_epilogue_kernel, tile_e=tile_e, n_b=n_b,
+                          ratio2=float(ratio) ** 2),
+        grid=(n_a // tile_e,),
+        in_specs=[
+            pl.BlockSpec((tile_e, 2), lambda ie: (ie, 0)),
+            pl.BlockSpec((8, n_b), lambda ie: (0, 0)),
+        ],
         out_specs=[
-            pl.BlockSpec((n_a, 1), lambda ia: (0, 0)),
-            pl.BlockSpec((n_a, 1), lambda ia: (0, 0)),
-            pl.BlockSpec((n_a, 2), lambda ia: (0, 0)),
+            pl.BlockSpec((tile_e, 1), lambda ie: (ie, 0)),
+            pl.BlockSpec((tile_e, 1), lambda ie: (ie, 0)),
+            pl.BlockSpec((tile_e, 2), lambda ie: (ie, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_a, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_a, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_a, 2), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((n_a, 2), jnp.int32),
-            pltpu.VMEM((1, n_b), jnp.int32),
-        ],
         interpret=jax.default_backend() != "tpu",
-    )(*inputs)
+    )(row_p, _epilogue_vals(col_p, uv_b))
     return bj[:, 0], okf[:, 0].astype(bool), pb
+
+
+def _bf16_trunc(x):
+    """Truncate f32 to its top 8 mantissa bits by masking — the bitcast
+    form survives jit, where a plain f32→bf16→f32 round-trip is CANCELLED
+    by XLA's excess-precision rule (measured: under jit the rounded hi
+    silently reverts to full f32 and the residual limbs fold to zero)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
+def _epilogue_vals(col_p, uv_b):
+    """Build the (8, n_b) bf16-exact gather table for the epilogue dot:
+    rows [c_hi, c_lo, u_hi, v_hi, u_mid, v_mid, u_lo, v_lo]. The column
+    champion index splits into two ≤8-bit integer limbs; each f32 coord
+    splits Dekker-style into hi/mid/lo slices of its 24-bit mantissa (top
+    8 / next 8 / last 8 bits — every limb exactly bf16-representable),
+    recombining exactly as (hi + mid) + lo. Each subtraction is exact
+    because the minuend's retained bits dominate (standard Dekker
+    splitting)."""
+    coli = col_p & _IDX_MASK                               # (1, n_b)
+    c_hi = (coli >> 8).astype(jnp.float32)
+    c_lo = (coli & 255).astype(jnp.float32)
+    uvt = jnp.swapaxes(uv_b.astype(jnp.float32), 0, 1)     # (2, n_b)
+    hi = _bf16_trunc(uvt)
+    r = uvt - hi
+    mid = _bf16_trunc(r)
+    lo = r - mid
+    return jnp.concatenate([c_hi, c_lo, hi, mid, lo], axis=0)
 
 
 def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
@@ -521,41 +531,10 @@ def knn_top2(desc_a, desc_b, tile_a=None, tile_b=None, bf16=True,
     gated = gate_radius > 0.0 and gate_uv_a is not None
     if max(n_a, n_b) <= (1 << _IDX_BITS):
         # packed-key path: one min per reduction instead of min+argmin
-        kernel = functools.partial(
-            _knn_kernel_packed, tile_a=tile_a, tile_b=tile_b,
+        row_p, col_p = _knn_packed_raw(
+            desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2,
+            tile_a, tile_b, gate_uv_a=gate_uv_a, gate_pred_b=gate_pred_b,
             radius2=float(gate_radius) ** 2 if gated else None)
-        in_specs = [
-            pl.BlockSpec((tile_a, d), lambda ia, ib: (ia, 0)),
-            pl.BlockSpec((tile_b, d), lambda ia, ib: (ib, 0)),
-            pl.BlockSpec((tile_a, 1), lambda ia, ib: (ia, 0)),
-            pl.BlockSpec((tile_b, 1), lambda ia, ib: (ib, 0)),
-        ]
-        inputs = [desc_a.astype(in_dtype), desc_b.astype(in_dtype), na2, nb2]
-        if gated:
-            in_specs += [
-                pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
-                pl.BlockSpec((tile_b, 2), lambda ia, ib: (ib, 0)),
-            ]
-            inputs += [gate_uv_a.astype(jnp.float32),
-                       gate_pred_b.astype(jnp.float32)]
-        row_p, col_p = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((tile_a, 2), lambda ia, ib: (ia, 0)),
-                pl.BlockSpec((1, n_b), lambda ia, ib: (0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_a, 2), jnp.int32),
-                jax.ShapeDtypeStruct((1, n_b), jnp.int32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((tile_a, 1), jnp.int32),
-                pltpu.VMEM((tile_a, 1), jnp.int32),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(*inputs)
         mask = jnp.int32(~_IDX_MASK)
         row_d = jax.lax.bitcast_convert_type(row_p & mask, jnp.float32)
         row_i = row_p & _IDX_MASK
@@ -664,24 +643,43 @@ def match_pair_dense(desc_a, desc_b, n_a, n_b, ratio=0.75, mutual=True,
     ok = d1 < (ratio * ratio) * d2
     pb = None
     if jax.default_backend() == "tpu":
-        # col_i[best_j] (and uv_b[best_j] when requested) as ONE one-hot
-        # f32 matmul: a minor-dim gather on TPU serializes (~4.0 ms per
-        # 64-pair batch at 6k features vs 1.9 ms for the one-hot dot —
-        # scripts_dev/glue_bisect.py). Indices < 8192 and raw pixel
-        # coords are exact in f32; scales linearly to the store path's
-        # 256-pair batches without materializing the one-hot
-        # (scripts_dev/mutual_glue_probe.py at B=256).
+        # col_i[best_j] (and uv_b[best_j] when requested) as a FACTORED
+        # one-hot gather: a minor-dim gather on TPU serializes (~4.0 ms
+        # per 64-pair batch at 6k features — scripts_dev/glue_bisect.py),
+        # and a single (n_a, n_b) one-hot dot costs ~6 ms/batch of VPU
+        # traffic just materializing the one-hot. Splitting j into
+        # j_hi·128 + j_lo turns it into two one-hots of width n_b/128 and
+        # 128 (~11x less traffic): picked[i] = oh_hi[i] @ T[·, j_lo, ·]
+        # via one small matmul + an elementwise masked reduce. Exact: the
+        # package pins matmul precision to float32, one-hot entries are
+        # 1.0, and exactly one product per output is nonzero.
         n_b_pad = col_i.shape[0]
-        oh = (best_j[:, None]
-              == jnp.arange(n_b_pad, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)
         cols = []
         if mutual:
             cols.append(col_i.astype(jnp.float32)[:, None])
         if uv_b is not None:
             cols.append(uv_b.astype(jnp.float32))
         if cols:
-            picked = oh @ jnp.concatenate(cols, axis=1)
+            table = jnp.concatenate(cols, axis=1)          # (n_b_pad, K)
+            k_ch = table.shape[1]
+            if n_b_pad % 128 == 0:
+                n_hi = n_b_pad // 128
+                oh_hi = (
+                    (best_j >> 7)[:, None]
+                    == jnp.arange(n_hi, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+                oh_lo = (
+                    (best_j & 127)[:, None]
+                    == jnp.arange(128, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+                u = (oh_hi @ table.reshape(n_hi, 128 * k_ch)
+                     ).reshape(n_a_pad, 128, k_ch)
+                picked = jnp.einsum("ib,ibk->ik", oh_lo, u)
+            else:
+                oh = (best_j[:, None]
+                      == jnp.arange(n_b_pad, dtype=jnp.int32)[None, :]
+                      ).astype(jnp.float32)
+                picked = oh @ table
         if mutual:
             ok &= picked[:, 0].astype(jnp.int32) == arange_a
         if uv_b is not None:
