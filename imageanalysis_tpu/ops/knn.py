@@ -35,10 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# A/B switch for the fused ratio/mutual/coordinate-pick epilogue
-# (_knn_kernel_fused); set IMGTPU_FUSED_EPILOGUE=0 to fall back to the
-# decode + one-hot-MXU epilogue in match_pair_dense.
-_FUSED_EPILOGUE = os.environ.get("IMGTPU_FUSED_EPILOGUE", "1") != "0"
+# A/B switch for the two-launch Pallas epilogue (_match_epilogue_kernel);
+# OFF by default: in isolation it ties the XLA factored one-hot gather
+# (16.8 vs 17.6 ms per 64-pair batch at n=6144) but inside the full match
+# pipeline it measures ~27% SLOWER end-to-end (2285 vs 3138 pairs/s,
+# driver bench) — the (tile_e, n_b) one-hot + K=6144/N=8 MXU dot schedule
+# worse next to RANSAC than the factored XLA gather, which XLA fuses with
+# the downstream match compaction. Set IMGTPU_FUSED_EPILOGUE=1 to A/B.
+_FUSED_EPILOGUE = os.environ.get("IMGTPU_FUSED_EPILOGUE", "0") != "0"
 
 PAD_VALUE = 1.0e4  # descriptor fill for padded rows; SIFT values are ≤ 512
 
