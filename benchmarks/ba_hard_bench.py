@@ -1,0 +1,227 @@
+#!/usr/bin/env python
+"""Hard-regime BA benchmark (VERDICT r3 item 8): the refine/cull cadence
+on a badly-initialized, outlier-contaminated mission.
+
+The mission bench converges in ~3 LM iterations from a near-perfect
+initialization; this bench instead reproduces the regime the reference's
+4a→4b→4a loop exists for (reference optimizer.py:249-252 mre trajectory;
+4b-mre-by-image.py:52-198 cull):
+
+- systematic yaw bias on every camera (the smart-strategy yaw-error
+  scenario, reference smart.py:138-190),
+- altitude bias + per-camera position noise (DJI altitude-lie regime,
+  reference pose.py:156-163),
+- a fraction of observations replaced with uniform in-frame garbage
+  (gross mismatches RANSAC let through),
+- point initialization from noisy ground-plane projection.
+
+Cadence (mirrors scripts/process.py step 4 + 4b):
+  phase 1: Huber-weighted LM to convergence      (4a)
+  cull:    drop obs with |r| > mre + 5σ          (4b default, README:208)
+  phase 2: re-run LM on the culled problem       (4a --refine)
+
+Reports the full mre trajectory per phase, cull precision/recall against
+the planted outliers, iterations, wall clock, and final camera errors
+vs ground truth. Writes BENCH_ba_hard.json.
+
+Usage: python benchmarks/ba_hard_bench.py [--n-cam 300] [--n-pt 40000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_hard_problem(rng, n_cam, n_pt, obs_per_pt=4, px_noise=0.4,
+                      outlier_frac=0.20, yaw_bias_deg=3.0, alt_bias_m=6.0,
+                      pos_noise_m=2.0, width=1920, height=1440):
+    import jax.numpy as jnp
+    from imageanalysis_tpu.ba import bundle
+    from imageanalysis_tpu.core import camera as cam
+    from imageanalysis_tpu.core import rotations as rot
+
+    K = np.array([[1800.0, 0, width / 2], [0, 1800.0, height / 2],
+                  [0, 0, 1.0]], np.float32)
+    DIST = np.zeros(5, np.float32)
+
+    side = int(np.ceil(np.sqrt(n_cam)))
+    gx, gy = np.divmod(np.arange(n_cam), side)
+    ned = np.c_[gx * 40.0, gy * 40.0,
+                -120.0 + rng.normal(0, 2, n_cam)].astype(np.float32)
+    q = np.stack([np.asarray(rot.quat_from_ypr(
+        rng.normal(0, 0.2), np.radians(-88) + rng.normal(0, 0.03),
+        rng.normal(0, 0.03))) for _ in range(n_cam)]).astype(np.float32)
+    cams_true = np.c_[ned, q]
+
+    span = side * 40.0
+    pts_true = np.c_[rng.uniform(-30, span + 30, (n_pt, 2)),
+                     rng.uniform(-8, 8, (n_pt, 1))].astype(np.float32)
+
+    # nearest obs_per_pt cameras per point, projected in one vectorized call
+    d2 = ((pts_true[:, None, :2] - cams_true[None, :, :2]) ** 2).sum(-1)
+    near = np.argpartition(d2, obs_per_pt, axis=1)[:, :obs_per_pt]
+    ci = near.reshape(-1).astype(np.int32)
+    pi = np.repeat(np.arange(n_pt, dtype=np.int32), obs_per_pt)
+    import jax
+    Rb, tb = jax.vmap(cam.ned_quat_to_rt)(jnp.asarray(cams_true[ci, :3]),
+                                          jnp.asarray(cams_true[ci, 3:7]))
+    uvz = jax.vmap(lambda p, R, t: cam.project_points(p, R, t,
+                                                      jnp.asarray(K),
+                                                      jnp.asarray(DIST)))(
+        jnp.asarray(pts_true[pi]), Rb, tb)
+    uv = np.asarray(uvz[0])
+    z = np.asarray(uvz[1])
+    keep = ((z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+            & (uv[:, 1] >= 0) & (uv[:, 1] < height))
+    ci, pi, uv = ci[keep], pi[keep], uv[keep]
+    uv = uv + rng.normal(0, px_noise, uv.shape)
+
+    # planted outliers: gross uv corruption
+    n_obs = len(ci)
+    is_out = rng.random(n_obs) < outlier_frac
+    uv[is_out] = np.c_[rng.uniform(0, width, is_out.sum()),
+                       rng.uniform(0, height, is_out.sum())]
+
+    # chain-order (sort by point) so the solver's sorted-segment path and
+    # the point-local sharding both apply
+    order = np.argsort(pi, kind="stable")
+    ci, pi, uv, is_out = ci[order], pi[order], uv[order], is_out[order]
+    obs = bundle.BAObservations(
+        cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+        uv=jnp.asarray(uv.astype(np.float32)),
+        weight=jnp.ones(n_obs, jnp.float32))
+
+    # degraded initialization
+    cams0 = cams_true.copy()
+    dyaw = np.radians(yaw_bias_deg)
+    for c in range(n_cam):
+        dq = np.asarray(rot.quat_from_ypr(dyaw + rng.normal(0, 0.01),
+                                          rng.normal(0, 0.01),
+                                          rng.normal(0, 0.01)))
+        cams0[c, 3:7] = np.asarray(rot.quat_multiply(cams0[c, 3:7], dq))
+    cams0[:, :3] += rng.normal(0, pos_noise_m, (n_cam, 3))
+    cams0[:, 2] -= alt_bias_m  # NED down: flying "higher" than GPS says
+    # points: noisy ground-plane init (the 3c srtm/ground method's regime)
+    pts0 = pts_true.copy()
+    pts0[:, 2] = 0.0
+    pts0 += rng.normal(0, 3.0, pts0.shape).astype(np.float32)
+
+    return (cams_true, pts_true, cams0, pts0.astype(np.float32), obs,
+            is_out, K, DIST)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-cam", type=int, default=300)
+    ap.add_argument("--n-pt", type=int, default=40000)
+    ap.add_argument("--outlier-frac", type=float, default=0.20)
+    ap.add_argument("--yaw-bias-deg", type=float, default=3.0)
+    ap.add_argument("--alt-bias-m", type=float, default=6.0)
+    ap.add_argument("--max-iters", type=int, default=25)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ba_hard.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import imageanalysis_tpu  # noqa: F401  (matmul precision pin)
+    from imageanalysis_tpu.ba import bundle
+
+    rng = np.random.default_rng(7)
+    t0 = time.perf_counter()
+    (cams_true, pts_true, cams0, pts0, obs, is_out, K,
+     DIST) = make_hard_problem(rng, args.n_cam, args.n_pt,
+                               outlier_frac=args.outlier_frac,
+                               yaw_bias_deg=args.yaw_bias_deg,
+                               alt_bias_m=args.alt_bias_m)
+    gen_s = time.perf_counter() - t0
+    n_obs = obs.uv.shape[0]
+    print(f"problem: {args.n_cam} cams, {args.n_pt} pts, {n_obs} obs "
+          f"({int(is_out.sum())} planted outliers), gen {gen_s:.1f}s "
+          f"backend={jax.default_backend()}", flush=True)
+
+    cfg = bundle.BAConfig(max_iters=args.max_iters, bound_vert=9.0)
+    traj = {}
+
+    # --- phase 1: Huber LM on the contaminated problem -------------------
+    t0 = time.perf_counter()
+    obs_h = bundle.reweight_huber(cams0, pts0, obs, jnp.asarray(K),
+                                  jnp.asarray(DIST), delta_px=4.0)
+    r1 = bundle.solve(cams0, pts0, obs_h, jnp.asarray(K), jnp.asarray(DIST),
+                      cfg, verbose=True)
+    p1_s = time.perf_counter() - t0
+    traj["phase1_cost"] = [round(float(c), 1) for c in r1.cost_history]
+
+    # --- cull: mre + 5σ on unweighted residuals (reference 4b default) ---
+    r = np.asarray(bundle._residuals(jnp.asarray(r1.cams),
+                                     jnp.asarray(r1.pts), obs,
+                                     jnp.asarray(K), jnp.asarray(DIST)))
+    mag = np.linalg.norm(r, axis=1)
+    thresh = mag.mean() + 5.0 * mag.std()
+    drop = mag > thresh
+    tp = int((drop & is_out).sum())
+    fp = int((drop & ~is_out).sum())
+    fn = int((~drop & is_out).sum())
+    keep = ~drop
+    obs2 = bundle.BAObservations(
+        cam_idx=obs.cam_idx[keep], pt_idx=obs.pt_idx[keep],
+        uv=obs.uv[keep], weight=obs.weight[keep])
+
+    # --- phase 2: refine on the culled problem ---------------------------
+    t0 = time.perf_counter()
+    obs2_h = bundle.reweight_huber(r1.cams, r1.pts, obs2, jnp.asarray(K),
+                                   jnp.asarray(DIST), delta_px=4.0)
+    r2 = bundle.solve(r1.cams, r1.pts, obs2_h, jnp.asarray(K),
+                      jnp.asarray(DIST), cfg, verbose=True)
+    p2_s = time.perf_counter() - t0
+    traj["phase2_cost"] = [round(float(c), 1) for c in r2.cost_history]
+
+    # final fidelity: mre on CLEAN observations only + camera error after
+    # similarity refit (yaw bias leaves a gauge rotation the reference also
+    # removes via refit, optimizer.py:583-683)
+    clean = bundle.BAObservations(
+        cam_idx=obs.cam_idx[~is_out], pt_idx=obs.pt_idx[~is_out],
+        uv=obs.uv[~is_out], weight=obs.weight[~is_out])
+    _, mre_clean, mx_clean = bundle.ba_cost(
+        jnp.asarray(r2.cams), jnp.asarray(r2.pts), clean, jnp.asarray(K),
+        jnp.asarray(DIST))
+    cams_fit, pts_fit, _ = bundle.refit(r2.cams, r2.pts,
+                                        cams_true[:, :3])
+    cam_err = np.linalg.norm(cams_fit[:, :3] - cams_true[:, :3], axis=1)
+
+    result = {
+        "n_cam": args.n_cam, "n_pt": args.n_pt, "n_obs": int(n_obs),
+        "outlier_frac": args.outlier_frac,
+        "yaw_bias_deg": args.yaw_bias_deg,
+        "alt_bias_m": args.alt_bias_m,
+        "backend": jax.default_backend(),
+        "phase1": {"iters": r1.iters, "wall_s": round(p1_s, 1),
+                   "mre_px": round(r1.mre, 4),
+                   "iters_per_s": round(r1.iters / p1_s, 2)},
+        "cull": {"threshold_px": round(float(thresh), 2),
+                 "dropped": int(drop.sum()),
+                 "outlier_precision": round(tp / max(tp + fp, 1), 4),
+                 "outlier_recall": round(tp / max(tp + fn, 1), 4)},
+        "phase2": {"iters": r2.iters, "wall_s": round(p2_s, 1),
+                   "mre_px": round(r2.mre, 4),
+                   "iters_per_s": round(r2.iters / p2_s, 2)},
+        "final_mre_clean_obs_px": round(float(mre_clean), 4),
+        "final_max_clean_obs_px": round(float(mx_clean), 2),
+        "cam_pos_err_mean_m_after_refit": round(float(cam_err.mean()), 4),
+        "cam_pos_err_max_m_after_refit": round(float(cam_err.max()), 4),
+        "cost_trajectories": traj,
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -133,6 +133,15 @@ def main(argv=None):
     for k in set().union(*(r["stages"].keys() for r in ranks)):
         stages_R[k] = round(max(r["stages"].get(k, 0.0) for r in ranks), 1)
     overhead = tR_wall / t1_wall
+    # per-stage overhead factors (tR/t1): the blended factor hides
+    # per-stage anti-scaling (VERDICT r3 weak #2 — BA measured 13.6× at 8
+    # ranks while the blend said 1.32); mission_bench extrapolates each
+    # stage with its own factor when these exist
+    per_stage = {}
+    for k, t1k in r1["stages"].items():
+        tRk = stages_R.get(k, 0.0)
+        if t1k and t1k > 0.05:
+            per_stage[k] = round(tRk / t1k, 3)
 
     result = {
         "n_images": args.n_images,
@@ -146,6 +155,7 @@ def main(argv=None):
         "tR_stages_max_over_ranks": stages_R,
         "tR_per_rank_total_s": [r["total_s"] for r in ranks],
         "measured_overhead_factor": round(overhead, 3),
+        "per_stage_overhead_factors": per_stage,
         "note": "1 physical core: perfect parallelism + zero orchestration "
                 "cost would give tR == t1; tR/t1 is the measured "
                 "multi-process overhead (barriers, shard merges, rank-0 "

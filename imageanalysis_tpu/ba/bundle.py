@@ -129,12 +129,17 @@ def _seg(x, idx, num, sorted_idx=False):
 
 
 def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt,
-                      pt_sorted=False):
+                      pt_sorted=False, axis_name=None):
     """The λ-independent half of the LM step: per-observation jacobians,
     gradients, and undamped normal-equation blocks. Computed ONCE per outer
     LM iteration and reused across λ retries by lm_solve — the 10
     whole-batch JVPs are the dominant BA cost at mission scale (4M obs),
     and they don't depend on the damping.
+
+    axis_name: when called per-shard inside shard_map (point-local sharded
+    BA, parallel/sharded.py), camera reductions psum over the mesh axis
+    while point reductions stay shard-local (n_pt is then the LOCAL point
+    count and obs.pt_idx holds local indices).
 
     Returns a pytree of (Jc 2×7, Jp 2×3, r 2 of (n,); g_c (n_cam,7);
     g_p 3 of (n_pt,); Hcc (n_cam,7,7); hpp 6 of (n_pt,) upper-triangular
@@ -161,12 +166,19 @@ def lm_jacobians_impl(cams, pts, obs, K, dist, n_cam, n_pt,
     # point blocks: symmetric 3×3 per point as 6 × (n_pt,), undamped
     hpp = tuple(segp(Jp[0][k] * Jp[0][l] + Jp[1][k] * Jp[1][l])
                 for k in range(3) for l in range(k, 3))
+    if axis_name:
+        # camera blocks see every shard's observations: ONE fused psum of
+        # the (n_cam·7 + n_cam·49)-sized stack per outer LM iteration;
+        # point blocks stay shard-local by construction (observations are
+        # partitioned at point-chain boundaries)
+        g_c, Hcc = jax.lax.psum((g_c, Hcc), axis_name)
     return (tuple(tuple(row) for row in Jc), tuple(tuple(row) for row in Jp),
             tuple(r), g_c, g_p, Hcc, hpp)
 
 
 def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
-                  pt_sorted=False):
+                  pt_sorted=False, axis_name=None, pt_off=None, m_pts=None,
+                  n_pt_out=None):
     """The per-λ half of the LM step: damp the precomputed blocks, solve the
     camera-reduced (Schur) system with PCG, back-substitute points.
 
@@ -177,6 +189,16 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     (15.5 GB measured for 4.06M observations). Camera-sized arrays
     (n_cam ≤ thousands) stay dense. Returns (Δcams (n_cam,7),
     Δpts (n_pt,3), predicted_decrease).
+
+    Point-local SPMD mode (axis_name set; called per-shard inside
+    shard_map by parallel/sharded.py): observations are partitioned at
+    point-chain boundaries, so every point's observations live on exactly
+    ONE shard — all point-sized reductions (the Schur complement's
+    H_cp·Hpp⁻¹·H_pc inner product) stay local, and the only per-CG-
+    iteration collective is the (n_cam, 7) camera reduction. pt_idx holds
+    LOCAL indices; pt_off is this shard's first global point, m_pts its
+    real point count (rows beyond it are padding), n_pt_out the padded
+    global point total for the returned (replicated) Δpts.
     """
     Jc, Jp, r, g_c, g_p, Hcc, hpp6 = jac
     n_cam = g_c.shape[0]
@@ -231,7 +253,9 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
         return [w2[:, k] for k in range(3)]
 
     def segc7(cols):
-        return _seg(jnp.stack(cols, axis=1), cam_idx, n_cam)
+        s = _seg(jnp.stack(cols, axis=1), cam_idx, n_cam)
+        # point-local SPMD: the ONLY per-matvec collective — (n_cam, 7)
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     def schur_matvec(v):
         vg = gcam(v)
@@ -291,6 +315,11 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     hpc_dc = segp3([Jp[0][k] * u[0] + Jp[1][k] * u[1] for k in range(3)])
     rhs_p = [-g_p[k] - hpc_dc[k] for k in range(3)]
     dp_cols = hpp_solve(rhs_p)
+    if axis_name:
+        # zero the padded local point rows (they'd land inside the NEXT
+        # shard's slice of the scatter below)
+        pmask = (jnp.arange(n_pt) < m_pts).astype(dp_cols[0].dtype)
+        dp_cols = [c * pmask for c in dp_cols]
     dp_pts = jnp.stack(dp_cols, axis=1)
 
     # predicted decrease of the Gauss–Newton model for the LM gain ratio:
@@ -301,9 +330,20 @@ def lm_solve_impl(jac, cam_idx, pt_idx, lam, cg_iters=40, cg_tol=1e-3,
     dpg = gpt3(dp_cols)
     Jdelta = [u[i] + sum(Jp[i][k] * dpg[k] for k in range(3))
               for i in range(2)]
-    g_dot_d = dot(dc_cam, g_c) + sum(jnp.sum(dp_cols[k] * g_p[k])
-                                     for k in range(3))
+    g_dot_d_pt = sum(jnp.sum(dp_cols[k] * g_p[k]) for k in range(3))
     jtj_quad = jnp.sum(Jdelta[0] * Jdelta[0]) + jnp.sum(Jdelta[1] * Jdelta[1])
+    if axis_name:
+        # shard-local scalars (obs and point sums) fold in one tiny psum;
+        # the camera term is replicated — add it outside the psum
+        g_dot_d_pt, jtj_quad = jax.lax.psum((g_dot_d_pt, jtj_quad),
+                                            axis_name)
+        # assemble the replicated global Δpts: each shard scatters its
+        # masked rows into its slice of a zero buffer, one (n_pt_out, 3)
+        # psum per λ solve (vs one per CG iteration in the naive sharding)
+        dp_full = jnp.zeros((n_pt_out, 3), dp_pts.dtype)
+        dp_full = jax.lax.dynamic_update_slice(dp_full, dp_pts, (pt_off, 0))
+        dp_pts = jax.lax.psum(dp_full, axis_name)
+    g_dot_d = dot(dc_cam, g_c) + g_dot_d_pt
     pred_dec = -(g_dot_d + 0.5 * jtj_quad)
     return dc_cam, dp_pts, pred_dec
 

@@ -143,9 +143,15 @@ def _knn_kernel_packed(a_ref, b_ref, na2_ref, nb2_ref, *rest, tile_a,
         # exact int32 squared distances (a true sum of squares: never < 0)
         d2 = (na2[:, None] + nb2[None, :] - 2 * ab).astype(jnp.float32)
     else:
+        # bf16 inputs: single MXU pass. f32 inputs: HIGHEST (3-pass bf16x3)
+        # — DEFAULT would silently truncate f32 operands to bf16 on the MXU
+        # (caught by test_knn_pallas_matches_ref on-chip: 3.3e-3 distance
+        # error vs the 2^-9 packing bound the caller was promised)
+        prec = (jax.lax.Precision.HIGHEST if a_ref.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
         ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.DEFAULT)
+                                 precision=prec)
         na2 = na2_ref[:][:, 0]
         nb2 = nb2_ref[:][:, 0]
         d2 = jnp.maximum(na2[:, None] + nb2[None, :] - 2.0 * ab, 0.0)
@@ -406,13 +412,16 @@ def _knn_kernel(a_ref, b_ref, na2_ref, nb2_ref, row_d_ref, row_i_ref,
     nb_tiles = pl.num_programs(1)
 
     # descriptors arrive pre-cast (bf16 for MXU speed or f32); norms are
-    # precomputed outside. precision must be DEFAULT explicitly: the package
+    # precomputed outside. bf16 dots must be DEFAULT explicitly (the package
     # sets jax_default_matmul_precision=float32 globally, and Mosaic rejects
-    # HIGHEST-precision bf16 dots ("Bad lhs type")
+    # HIGHEST-precision bf16 dots with "Bad lhs type"); f32 dots must be
+    # HIGHEST or the MXU silently truncates the operands to bf16
     dn = (((1,), (1,)), ((), ()))
+    prec = (jax.lax.Precision.HIGHEST if a_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     ab = jax.lax.dot_general(a_ref[:], b_ref[:], dn,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.DEFAULT)
+                             precision=prec)
     na2 = na2_ref[:][:, 0]
     nb2 = nb2_ref[:][:, 0]
     d2 = na2[:, None] + nb2[None, :] - 2.0 * ab  # (tile_a, tile_b)

@@ -141,24 +141,165 @@ def sharded_lm_solve(mesh: Mesh, axis="dp", cg_iters=40, cg_tol=1e-3,
                    out_shardings=(rep, rep, rep))
 
 
+# ---------------------------------------------------------------------------
+# Point-local sharded BA (shard_map)
+# ---------------------------------------------------------------------------
+#
+# The NamedSharding formulation above lets XLA's SPMD partitioner place the
+# collectives — which inserts a (n_pt, 3)-sized psum into EVERY CG matvec
+# (the H_cp·Hpp⁻¹·H_pc point reduction), the dominant cost of the measured
+# 13.6× 8-rank BA overhead (BENCH_scaling.json r3). The point-local design
+# below partitions chain-ordered observations at point boundaries, so each
+# point's observations live on exactly one shard: all point reductions are
+# shard-local, and the only per-CG-iteration collective is the (n_cam, 7)
+# camera reduction (a few KB) — the scaling-book recipe of choosing the
+# sharding so collectives ride the small axis.
+
+
+class PointPartition:
+    """Host-side partition of chain-ordered observations into equal-length
+    per-shard chunks that never split a point across shards.
+
+    Attributes (R = n_shards, L = padded obs/shard, M = padded pts/shard):
+      cam_idx (R·L,) int32; ptl_idx (R·L,) int32 LOCAL point ids;
+      uv (R·L, 2) f32; weight (R·L,) f32 (0 on padding);
+      pt_off (R,) first global point of each shard; m_pts (R,) real point
+      count per shard; n_pt_pad ≥ max(pt_off + M) scatter bound."""
+
+    def __init__(self, obs: bundle.BAObservations, n_pt: int, n_shards: int):
+        pt = np.asarray(obs.pt_idx)
+        cam = np.asarray(obs.cam_idx)
+        uv = np.asarray(obs.uv)
+        w = np.asarray(obs.weight)
+        order = None
+        if not np.all(np.diff(pt) >= 0):
+            order = np.argsort(pt, kind="stable")
+            pt, cam, uv, w = pt[order], cam[order], uv[order], w[order]
+        n = len(pt)
+        splits = [0]
+        for s in range(1, n_shards):
+            t = min(round(s * n / n_shards), n)
+            while 0 < t < n and pt[t] == pt[t - 1]:
+                t += 1
+            splits.append(max(min(t, n), splits[-1]))
+        splits.append(n)
+        self.L = L = max(1, int(np.max(np.diff(splits))))
+        pt_lo = np.zeros(n_shards + 1, np.int64)
+        for s in range(1, n_shards):
+            lo = pt[splits[s]] if splits[s] < n else n_pt
+            pt_lo[s] = max(lo, pt_lo[s - 1])
+        pt_lo[n_shards] = n_pt
+        self.M = M = max(1, int(np.max(np.diff(pt_lo))))
+        self.pt_off = pt_lo[:n_shards].astype(np.int32)
+        self.m_pts = np.diff(pt_lo).astype(np.int32)
+        self.n_pt_pad = int(self.pt_off.max()) + M
+        R = n_shards
+        self.cam_idx = np.zeros(R * L, np.int32)
+        self.ptl_idx = np.zeros(R * L, np.int32)
+        self.uv = np.zeros((R * L, 2), np.float32)
+        self.weight = np.zeros(R * L, np.float32)
+        for s in range(R):
+            a, b = splits[s], splits[s + 1]
+            k = b - a
+            self.cam_idx[s * L:s * L + k] = cam[a:b]
+            self.ptl_idx[s * L:s * L + k] = pt[a:b] - self.pt_off[s]
+            self.uv[s * L:s * L + k] = uv[a:b]
+            self.weight[s * L:s * L + k] = w[a:b]
+            # padding keeps local pt ids sorted and in-range; weight 0
+            self.ptl_idx[s * L + k:(s + 1) * L] = max(self.m_pts[s] - 1, 0)
+
+
+def make_pointlocal_ba(mesh: Mesh, part: PointPartition, n_pt: int,
+                       axis="dp", cg_iters=40, cg_tol=1e-3):
+    """Build (jac_fn, solve_fn, cost_fn) over a point-boundary observation
+    partition. Signatures match _solve_loop's expectations; the obs object
+    threads the partitioned flat arrays (pt_idx = LOCAL ids)."""
+    M, n_pt_pad = part.M, part.n_pt_pad
+    sh, rep = P(axis), P()
+    pt_off = jax.device_put(jnp.asarray(part.pt_off),
+                            NamedSharding(mesh, P(axis)))
+    m_pts = jax.device_put(jnp.asarray(part.m_pts),
+                           NamedSharding(mesh, P(axis)))
+    jac_specs = (tuple(tuple(sh for _ in range(7)) for _ in range(2)),
+                 tuple(tuple(sh for _ in range(3)) for _ in range(2)),
+                 (sh, sh), rep, (sh, sh, sh), rep,
+                 tuple(sh for _ in range(6)))
+
+    def _pts_local(pts, off):
+        pts_pad = jnp.pad(pts, ((0, n_pt_pad - pts.shape[0]), (0, 0)))
+        return jax.lax.dynamic_slice(pts_pad, (off, 0), (M, 3))
+
+    def jac_shard(cams, pts, cam_idx, ptl, uv, w, off, K, dist):
+        obs_loc = bundle.BAObservations(cam_idx, ptl, uv, w)
+        return bundle.lm_jacobians_impl(cams, _pts_local(pts, off[0]),
+                                        obs_loc, K, dist, cams.shape[0], M,
+                                        pt_sorted=True, axis_name=axis)
+
+    jac_sm = jax.jit(jax.shard_map(
+        jac_shard, mesh=mesh,
+        in_specs=(rep, rep, sh, sh, sh, sh, sh, rep, rep),
+        out_specs=jac_specs))
+
+    # pt_off / m_pts ride as ARGUMENTS through every jit boundary: closing
+    # over a multi-process-sharded array inside a traced function is
+    # rejected ("spans non-addressable devices") under jax.distributed
+    def jac_fn(cams, pts, o, K, dist):
+        return jac_sm(cams, pts, o.cam_idx, o.pt_idx, o.uv, o.weight,
+                      pt_off, K, dist)
+
+    def solve_shard(jac, cam_idx, ptl, off, m, lam):
+        return bundle.lm_solve_impl(jac, cam_idx, ptl, lam,
+                                    cg_iters=cg_iters, cg_tol=cg_tol,
+                                    pt_sorted=True, axis_name=axis,
+                                    pt_off=off[0], m_pts=m[0],
+                                    n_pt_out=n_pt_pad)
+
+    solve_sm = jax.jit(jax.shard_map(
+        solve_shard, mesh=mesh,
+        in_specs=(jac_specs, sh, sh, sh, sh, rep),
+        out_specs=(rep, rep, rep)))
+
+    def solve_fn(jac, cam_idx, ptl, lam):
+        dc, dp_pad, pred = solve_sm(jac, cam_idx, ptl, pt_off, m_pts, lam)
+        return dc, dp_pad[:n_pt], pred
+
+    def cost_shard(cams, pts, cam_idx, ptl, uv, w, off, K, dist):
+        obs_loc = bundle.BAObservations(cam_idx, ptl, uv, w)
+        r = bundle._residuals(cams, _pts_local(pts, off[0]), obs_loc, K,
+                              dist)
+        cost, asum, wsum = jax.lax.psum(
+            (0.5 * jnp.sum(r * r), jnp.sum(jnp.abs(r)), jnp.sum(w)), axis)
+        mre = asum / (2.0 * jnp.maximum(wsum, 1.0))
+        mx = jax.lax.pmax(jnp.max(jnp.abs(r)), axis)
+        return cost, mre, mx
+
+    cost_sm = jax.jit(jax.shard_map(
+        cost_shard, mesh=mesh,
+        in_specs=(rep, rep, sh, sh, sh, sh, sh, rep, rep),
+        out_specs=(rep, rep, rep)))
+
+    def cost_fn(cams, pts, o, K, dist):
+        return cost_sm(cams, pts, o.cam_idx, o.pt_idx, o.uv, o.weight,
+                       pt_off, K, dist)
+
+    return jac_fn, solve_fn, cost_fn
+
+
 def solve_sharded(cams0, pts0, obs, K, dist, mesh: Mesh,
                   config: bundle.BAConfig = bundle.BAConfig(), verbose=True,
                   log_fn=print):
-    """bundle.solve with the inner step sharded over a device mesh."""
-    pt_sorted = bool(np.all(np.diff(np.asarray(obs.pt_idx)) >= 0))
-    jac_fn = sharded_lm_jacobians(mesh, pt_sorted=pt_sorted)
-    solve_fn = sharded_lm_solve(mesh, cg_iters=config.cg_iters,
-                                cg_tol=config.cg_tol, pt_sorted=pt_sorted)
-    obs_dev = shard_observations(obs, mesh)
-    rep = NamedSharding(mesh, P())
-    cost_fn = jax.jit(
-        lambda c, p, o, K_, d_: bundle.ba_cost(c, p, o, K_, d_),
-        in_shardings=(rep, rep, bundle.BAObservations(
-            cam_idx=NamedSharding(mesh, P("dp")),
-            pt_idx=NamedSharding(mesh, P("dp")),
-            uv=NamedSharding(mesh, P("dp")),
-            weight=NamedSharding(mesh, P("dp"))), rep, rep),
-        out_shardings=(rep, rep, rep),
+    """bundle.solve with the inner step sharded over a device mesh
+    (point-local shard_map: one small camera psum per CG matvec)."""
+    n_pt = np.asarray(pts0).shape[0]
+    part = PointPartition(obs, n_pt, mesh.devices.size)
+    jac_fn, solve_fn, cost_fn = make_pointlocal_ba(
+        mesh, part, n_pt, cg_iters=config.cg_iters, cg_tol=config.cg_tol)
+    sh = NamedSharding(mesh, P("dp"))
+    obs_dev = bundle.BAObservations(
+        cam_idx=jax.device_put(jnp.asarray(part.cam_idx), sh),
+        pt_idx=jax.device_put(jnp.asarray(part.ptl_idx), sh),
+        uv=jax.device_put(jnp.asarray(part.uv), sh),
+        weight=jax.device_put(jnp.asarray(part.weight), sh),
     )
     return _solve_loop(cams0, pts0, obs_dev, K, dist, config, jac_fn,
                        solve_fn, cost_fn, verbose, log_fn)
