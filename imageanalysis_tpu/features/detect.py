@@ -173,17 +173,24 @@ def _auto_device_batch(shape):
 
     B>1 amortizes the per-dispatch download RTT (and host/device pipeline
     boundaries) over the batch: measured on hardware at mission scale
-    (870x576): 260 -> 96 ms/img from B=1 to B=8; at full mission
-    resolution (2176x1440): 298 -> 238 -> 209 ms/img for B=1/2/4
-    synchronous, B=8 upload-bound (scripts_dev/batch_detect_probe.py,
-    scripts_dev/crash_bisect.py r4 phase 2). Historical note: r2/r3
-    probes saw the TPU worker wedge at B>1 for 0.78-3 MP frames, so
-    batching was restricted to frames <= 0.56 MP; the r4 bisect could not
-    reproduce any wedge across pyramid-only/jnp-blur/no-upsample/full
-    configs through B=8 at 3.13 MP — it was a transient worker condition,
-    not a shape property. Policy: power-of-two B with B*area <= ~13 MP,
-    B <= 8. Set device_batch explicitly to override either way."""
+    (870x576): 260 -> 96 ms/img from B=1 to B=8. At full mission
+    resolution (2176x1440) the SYNCHRONOUS probe favored B=4 (298/238/209
+    ms/img for B=1/2/4, scripts_dev/crash_bisect.py), but the production
+    pipelined path (loader-thread uploads + double-buffered dispatch,
+    detect_project_features) measures B=2 best: 128/118/157 ms/img for
+    B=1/2/4 (scripts_dev/detect_batch_ab.py on real mission frames) —
+    large batches coarsen the double-buffer granularity and burst the
+    tunnel uploads. Policy: frames <= 0.56 MP batch to B*area <= ~13 MP
+    (B <= 8); larger frames B=2. Wedge history: r2/r3 saw TPU-worker
+    wedges at B>1 on 0.78-3 MP frames; an r4 subprocess bisect could not
+    reproduce them at any shape, but both r4 mission runs at B=4 hit
+    multi-minute worker stalls (1116 s of the r4run2 detect wall was 4
+    stalls — timestamp analysis in ROUND4_NOTES.md). If a mission wedges
+    at B=2, set device_batch=1 (the r3-proven region). Set device_batch
+    explicitly to override either way."""
     area = int(shape[0]) * int(shape[1])
+    if area > 560_000:
+        return 2 if 2 * area <= 13_000_000 else 1
     b = max(min(8, 13_000_000 // max(area, 1)), 1)
     return 1 << (b.bit_length() - 1)
 

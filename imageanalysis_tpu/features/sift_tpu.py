@@ -647,13 +647,18 @@ def detect_and_compute_batch(grays: np.ndarray, max_features=4096,
     if max_chunk is None:
         import jax as _jax
         on_tpu = _jax.default_backend() == "tpu"
-        # chunk by total-pixel budget on TPU (B*area <= ~13 MP, same
-        # policy as features/detect.py _auto_device_batch; the r2/r3
-        # worker wedges at B>1 near 3 MP did not reproduce in the r4
-        # bisect). Dispatches are async and results only sync after all
-        # chunks are queued, so chunks pipeline on device.
-        max_chunk = (max(min(len(imgs), 13_000_000 // max(H * W, 1)), 1)
-                     if on_tpu else len(imgs))
+        # chunk policy mirrors features/detect.py _auto_device_batch:
+        # small frames by total-pixel budget (B*area <= ~13 MP), frames
+        # > 0.56 MP chunk at 2 (the production-measured optimum; see the
+        # policy docstring there for the numbers + wedge history).
+        # Dispatches are async and results only sync after all chunks are
+        # queued, so chunks pipeline on device.
+        if not on_tpu:
+            max_chunk = len(imgs)
+        elif H * W > 560_000:
+            max_chunk = 2 if 2 * H * W <= 13_000_000 else 1
+        else:
+            max_chunk = max(min(len(imgs), 13_000_000 // max(H * W, 1)), 1)
     base_min = min(H, W) * (2 if upsample else 1)
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
