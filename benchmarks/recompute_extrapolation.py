@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Recompute a BENCH_mission_*.json's 8-chip extrapolation in place from
+the current BENCH_scaling.json / BENCH_ba_scaling.json factors.
+
+The extrapolation is pure arithmetic over the measured per-stage walls
+(same formula as mission_bench.py); this lets a fresh scaling measurement
+(e.g. the point-local sharded-BA factor) update a mission report without
+re-running the 2812-image pipeline.
+
+Usage: python benchmarks/recompute_extrapolation.py BENCH_mission_2812_r4.json
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv):
+    path = argv[1]
+    with open(path) as f:
+        m = json.load(f)
+    with open(os.path.join(REPO, "BENCH_scaling.json")) as f:
+        sc = json.load(f)
+    overhead = float(sc.get("measured_overhead_factor", 1.0))
+    per_stage = dict(sc.get("per_stage_overhead_factors", {}))
+    ba_src = None
+    try:
+        with open(os.path.join(REPO, "BENCH_ba_scaling.json")) as f:
+            bas = json.load(f)
+        per_stage["ba"] = bas["overhead_factor_warm"]
+        ba_src = {"overhead_factor_warm": bas["overhead_factor_warm"],
+                  "ranks": bas["ranks"],
+                  "solver": "point-local shard_map (parallel/sharded.py)"}
+    except (OSError, KeyError, ValueError):
+        pass
+
+    n = m["n_images"]
+    scale_f = 2812.0 / n
+    serial_s = sum(m.get(k + "_s", 0.0) or 0.0 for k in
+                   ("matcher_init", "requalify", "link", "triangulate",
+                    "groups"))
+    par_stage_s = {"detect": m["detect_s"], "match": m["match_s"],
+                   "ba": m["ba_s"], "render": m["render_s"]}
+    par_est = {}
+    for k, t in par_stage_s.items():
+        f = per_stage.get(k, overhead)
+        par_est[k] = round(min(t / 8.0 * f, t), 1)
+    est8 = (sum(par_est.values()) + serial_s) * scale_f
+    m["extrapolated_2812img_8chip_s"] = round(est8, 0)
+    m["extrapolation_8chip_model"] = {
+        "parallel_s_1chip": round(sum(par_stage_s.values()), 1),
+        "parallel_s_8chip_per_stage": par_est,
+        "serial_host_s": round(serial_s, 1),
+        "per_stage_overhead_factors": {k: per_stage.get(k, overhead)
+                                       for k in par_stage_s},
+        "ba_factor_source": ba_src,
+        "from_scaling_bench": {"ranks": sc.get("ranks"),
+                               "n_images": sc.get("n_images")},
+        "formula": "(sum_k min(stage_k/8*factor_k, stage_k) + serial)"
+                   " * (2812/n)",
+    }
+    m["meets_target_8chip"] = bool(est8 <= m.get("target_s", 600.0))
+    with open(path, "w") as f:
+        json.dump(m, f, indent=2)
+    print(json.dumps({k: m[k] for k in
+                      ("extrapolated_2812img_8chip_s", "meets_target_8chip",
+                       "extrapolation_8chip_model")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
