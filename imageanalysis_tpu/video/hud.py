@@ -27,6 +27,14 @@ R2D = 180.0 / math.pi
 
 GREEN = (20, 220, 20)
 WHITE = (240, 240, 240)
+# glass palette + units (reference hud_glass.py:23-32,17-20)
+GREEN2 = (0, 238, 0)
+RED = (0, 0, 238)
+YELLOW = (50, 255, 255)
+ORCHID = (211, 85, 186)
+ROYALBLUE = (225, 105, 65)
+M2FT = 1.0 / 0.3048
+KT2MPS = 1.0 / 1.94384
 
 
 class HUD:
@@ -66,6 +74,12 @@ class HUD:
         self.act_stick = None
         self.alpha_beta = None          # (alpha_rad, beta_rad)
         self.ground_m = 0.0
+        self.airspeed_units = "kt"
+        self.altitude_units = "ft"
+        self.wind_deg = 0.0
+        self.wind_kt = 0.0
+        self._gc_rad = 0.0              # persisted ground course
+        self.nose_uv = None             # set by draw_nose, anchors the dg
         self.show_compass = False
         self.show_grid = False
         self._grid_pts = []
@@ -127,31 +141,21 @@ class HUD:
         self.act_stick = (aileron, elevator, throttle, rudder)
 
     def update_airdata(self, airspeed=None, altitude=None, alpha_rad=None,
-                       beta_rad=None):
+                       beta_rad=None, wind_deg=None, wind_kt=None):
         if airspeed is not None:
             self.airspeed = airspeed
         if altitude is not None:
             self.altitude = altitude
         if alpha_rad is not None or beta_rad is not None:
             self.alpha_beta = (alpha_rad or 0.0, beta_rad or 0.0)
+        if wind_deg is not None:
+            self.wind_deg = wind_deg
+        if wind_kt is not None:
+            self.wind_kt = wind_kt
 
     # -- projection helpers (reference hud.py:214-222) --------------------
     def project(self, points_ned):
         return self.cam.project_ned(points_ned, self.ned, self.quat)
-
-    def _ladder_points(self, pitch_deg, width_deg=10.0):
-        """NED points of a pitch-ladder rung at the given pitch angle,
-        1000 m out, centered on the current heading."""
-        yaw = self.ypr[0] * D2R
-        pitch = pitch_deg * D2R
-        pts = []
-        for dyaw in (-width_deg / 2 * D2R, width_deg / 2 * D2R):
-            d = 1000.0
-            n = d * math.cos(pitch) * math.cos(yaw + dyaw)
-            e = d * math.cos(pitch) * math.sin(yaw + dyaw)
-            dwn = -d * math.sin(pitch)
-            pts.append(self.ned + [n, e, dwn])
-        return np.asarray(pts)
 
     def _pt(self, ned, frame):
         """Project one NED point → integer (u, v) or None (hud.py:214-222).
@@ -167,15 +171,35 @@ class HUD:
         return (int(round(u)), int(round(v)))
 
     def _ladder_uv(self, frame, yaw_rad, pitch_deg, dyaw_deg):
-        """Point 1000 m out at the given pitch/horizontal angle relative to
-        the given azimuth (reference ladder_helper, hud.py:246-254)."""
-        pitch = pitch_deg * D2R
-        yaw = yaw_rad + dyaw_deg * D2R
+        """Point 1000 m out at pitch/horizontal offset angles from the
+        given azimuth (reference ar_helper, hud_glass.py:348-357: the
+        offsets compose as intrinsic z-then-y rotations of the north
+        axis, so rungs droop slightly by cos(dyaw) at their ends)."""
+        p = pitch_deg * D2R
+        dy = dyaw_deg * D2R
+        ca, sa = math.cos(yaw_rad), math.sin(yaw_rad)
+        vn = math.cos(p) * math.cos(dy)
+        ve = math.sin(dy)
+        vd = -math.sin(p) * math.cos(dy)
         d = 1000.0
-        ned = self.ned + [d * math.cos(pitch) * math.cos(yaw),
-                          d * math.cos(pitch) * math.sin(yaw),
-                          -d * math.sin(pitch)]
+        ned = self.ned + [d * (ca * vn - sa * ve),
+                          d * (sa * vn + ca * ve),
+                          d * vd]
         return self._pt(ned, frame)
+
+    def _cam_uv(self, a0_deg, a1_deg):
+        """Boresight-relative angle-space point in IMAGE coordinates
+        (reference cam_helper, hud_glass.py:359-373 with zero mount
+        offsets): a0 up, a1 right, degrees. Pure pinhole math — these
+        symbols ride the image, not the world."""
+        a0 = a0_deg * D2R
+        a1 = a1_deg * D2R
+        K = self.cam.K
+        if math.cos(a0) == 0.0:
+            return None
+        u = K[0, 2] + K[0, 0] * math.tan(a1) / math.cos(a0)
+        v = K[1, 2] - K[1, 1] * math.tan(a0)
+        return (int(round(u)), int(round(v)))
 
     @staticmethod
     def _rotate_pt(p, center, angle_rad):
@@ -361,22 +385,23 @@ class HUD:
                  else self.pilot_stick) or (0.0, 0.0, 0.0, 0.0)
         ail, ele, thr, rud = stick
         h, w = frame.shape[:2]
-        lx, ly = int(h * 0.1), int(h * 0.8)
-        rx, ry = w - int(h * 0.1), int(h * 0.8)
+        lx, ly = int(w * 0.29), int(h * 0.85)
+        rx, ry = w - int(w * 0.29), int(h * 0.85)
         r1 = max(int(round(h * 0.09)), 10)
         r2 = max(int(round(h * 0.01)), 2)
+        white = (255, 255, 255)
         for cx, cy in ((lx, ly), (rx, ry)):
-            cv2.circle(frame, (cx, cy), r1, self.color, self.lw, cv2.LINE_AA)
-            cv2.line(frame, (cx, cy - r1), (cx, cy + r1), self.color, 1,
+            cv2.circle(frame, (cx, cy), r1, white, self.lw, cv2.LINE_AA)
+            cv2.line(frame, (cx, cy - r1), (cx, cy + r1), white, 1,
                      cv2.LINE_AA)
-            cv2.line(frame, (cx - r1, cy), (cx + r1, cy), self.color, 1,
+            cv2.line(frame, (cx - r1, cy), (cx + r1, cy), white, 1,
                      cv2.LINE_AA)
         cv2.circle(frame, (lx + int(round(rud * r1)),
                            ly + r1 - int(round(2 * thr * r1))), r2,
-                   self.color, self.lw, cv2.LINE_AA)
+                   white, self.lw, cv2.LINE_AA)
         cv2.circle(frame, (rx + int(round(ail * r1)),
                            ry - int(round(ele * r1))), r2,
-                   self.color, self.lw, cv2.LINE_AA)
+                   white, self.lw, cv2.LINE_AA)
 
     def draw_time(self, frame, cv2):
         """Elapsed-time stamp, lower left (hud.py:876-882)."""
@@ -390,6 +415,7 @@ class HUD:
         """Double circle on the body x-axis (hud.py:623-634)."""
         yaw = self.ypr[0] * D2R
         uv = self._ladder_uv(frame, yaw, self.ypr[1], 0.0)
+        self.nose_uv = uv                 # anchors the glass dg rose
         if uv is None:
             return
         h = frame.shape[0]
@@ -399,29 +425,33 @@ class HUD:
                    cv2.LINE_AA)
 
     def draw_vbars(self, frame, cv2):
-        """Flight-director command bars at the AP pitch/roll target
-        (hud.py:376-425)."""
-        color = (211, 85, 186)  # medium orchid (BGR)
-        yaw = self.ypr[0] * D2R
-        a0, a1, a2, a3 = self.ap_pitch, 10.0, 1.5, 3.0
-        rot = self._ladder_uv(frame, yaw, self.ypr[1], 0.0)
-        center0 = self._ladder_uv(frame, yaw, a0, 0.0)
-        if rot is None or center0 is None:
+        """Flight-director command bars: filled orchid wedges at the AP
+        pitch target, rolled to the AP roll target about the boresight
+        (hud_glass.py:533-583; 12-deg span at 20-deg sweep)."""
+        scale = 12.0
+        ang = 20.0 * D2R
+        a1 = scale * math.cos(ang)
+        a3 = scale * math.sin(ang)
+        a2 = a3 * 0.4
+        a0 = -self.ypr[1] + self.ap_pitch   # boresight-relative pitch cmd
+        nose = self._cam_uv(0.0, 0.0)
+        if nose is None:
             return
-        roll = self.ap_roll * D2R
-        center = self._rotate_pt(center0, rot, roll)
+        rot = -self.ypr[2] * D2R + self.ap_roll * D2R
+        center = self._rotate_pt(self._cam_uv(a0, 0.0), nose, rot)
+        half_width = max(int(self.lw * 0.5), 1)
+        dark_orchid = (139, 56, 123)
         for sgn in (1, -1):
-            p1 = self._ladder_uv(frame, yaw, a0 - a3, sgn * a1)
-            p2 = self._ladder_uv(frame, yaw, a0 - a3, sgn * (a1 + a3))
-            p3 = self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 + a3))
-            if p1 is None or p2 is None or p3 is None:
-                continue
-            uv1 = self._rotate_pt(p1, rot, roll)
-            uv2 = self._rotate_pt(p2, rot, roll)
-            uv3 = self._rotate_pt(p3, rot, roll)
-            for a, b in ((center, uv1), (center, uv3), (uv1, uv2),
-                         (uv1, uv3), (uv2, uv3)):
-                cv2.line(frame, a, b, color, self.lw, cv2.LINE_AA)
+            tmp = [self._cam_uv(a0 - a3, sgn * a1),
+                   self._cam_uv(a0 - a3, sgn * (a1 + a2)),
+                   self._cam_uv(a0 - (a3 - a2), sgn * (a1 + a2))]
+            uv = [self._rotate_pt(p, nose, rot) for p in tmp]
+            pts = np.array([[center, uv[0], uv[1], uv[2]]])
+            cv2.fillPoly(frame, pts, ORCHID)
+            cv2.line(frame, uv[0], uv[2], dark_orchid, half_width,
+                     cv2.LINE_AA)
+            cv2.polylines(frame, pts, True, (0, 0, 0), half_width,
+                          cv2.LINE_AA)
 
     def draw_heading_bug(self, frame, cv2):
         """AP heading bug on the horizon (hud.py:427-451)."""
@@ -441,25 +471,45 @@ class HUD:
                      cv2.LINE_AA)
 
     def draw_bird(self, frame, cv2):
-        """Attitude 'bird' wings at current pitch, rolled with the aircraft
-        (hud.py:453-487)."""
-        color = (0, 220, 220)  # yellow-ish (BGR)
-        yaw = self.ypr[0] * D2R
-        a0, a1, a2 = self.ypr[1], 10.0, 3.0
-        center = self._ladder_uv(frame, yaw, a0, 0.0)
-        if center is None:
+        """Attitude 'bird': image-fixed filled yellow/dark-yellow wing
+        wedges about the boresight plus wing-line horizon markers
+        (hud_glass.py:739-811, wing-marker mode)."""
+        yellow = YELLOW
+        dark_yellow = (33, 170, 170)
+        scale = 12.0
+        ang = 20.0 * D2R
+        a1 = scale * math.cos(ang)
+        a3 = scale * math.sin(ang)
+        a2 = a3 * 0.5
+        a4 = scale * 1.15
+        a5 = scale * 0.036
+        nose = self._cam_uv(0.0, 0.0)
+        if nose is None:
             return
-        roll = self.ypr[2] * D2R
+        self.nose_uv = nose
+        hw = max(int(self.lw * 0.5), 1)
         for sgn in (1, -1):
-            p1 = self._ladder_uv(frame, yaw, a0 - a2, sgn * a1)
-            p2 = self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 - a2))
-            if p1 is None or p2 is None:
-                continue
-            uv1 = self._rotate_pt(p1, center, roll)
-            uv2 = self._rotate_pt(p2, center, roll)
-            cv2.line(frame, center, uv1, color, self.lw, cv2.LINE_AA)
-            cv2.line(frame, center, uv2, color, self.lw, cv2.LINE_AA)
-            cv2.line(frame, uv1, uv2, color, self.lw, cv2.LINE_AA)
+            uv = [self._cam_uv(-a3, sgn * a1),
+                  self._cam_uv(-a3, sgn * (a1 - a2)),
+                  self._cam_uv(-a3, sgn * (a1 - a3))]
+            pts1 = np.array([[nose, uv[0], uv[2]]])
+            pts2 = np.array([[nose, uv[1], uv[2]]])
+            cv2.fillPoly(frame, pts1, yellow)
+            cv2.fillPoly(frame, pts2, dark_yellow)
+            cv2.polylines(frame, pts1, True, (0, 0, 0), hw, cv2.LINE_AA)
+        # wing-line horizon markers at +/-a4
+        for sgn in (1, -1):
+            uv = [self._cam_uv(0.0, sgn * a4),
+                  self._cam_uv(-a5, sgn * (a4 + a5)),
+                  self._cam_uv(-a5, sgn * (a4 + a3)),
+                  self._cam_uv(a5, sgn * (a4 + a3)),
+                  self._cam_uv(a5, sgn * (a4 + a5)),
+                  self._cam_uv(0.0, sgn * (a4 + a3))]
+            pts1 = np.array([[uv[0], uv[1], uv[2], uv[3], uv[4]]])
+            pts2 = np.array([[uv[0], uv[5], uv[3], uv[4]]])
+            cv2.fillPoly(frame, pts1, dark_yellow)
+            cv2.fillPoly(frame, pts2, yellow)
+            cv2.polylines(frame, pts1, True, (0, 0, 0), hw, cv2.LINE_AA)
 
     def draw_course(self, frame, cv2):
         """Ground-course caret on the horizon from filtered velocity
@@ -477,110 +527,278 @@ class HUD:
             cv2.line(frame, uv1, uv2, color, self.lw, cv2.LINE_AA)
             cv2.line(frame, uv1, uv3, color, self.lw, cv2.LINE_AA)
 
-    def draw_tapes_glass(self, frame, cv2):
-        """Glass-cockpit style: translucent filled tape strips with a value
-        box and pointer (reference hud_glass.py:34-1600 tape family)."""
+    def _glass_font_size(self, frame):
+        """Reference sizes the glass font from the frame diagonal
+        (7a-explore.py / hud CLI: size = sqrt(w^2+h^2)/1400)."""
         h, w = frame.shape[:2]
-        cy = h // 2
-        overlay = frame.copy()
-        for side, value, label in ((0, self.airspeed, "SPD"),
-                                   (1, self.altitude, "ALT")):
-            x0 = 16 if side == 0 else w - 86
-            cv2.rectangle(overlay, (x0, cy - 120), (x0 + 70, cy + 120),
-                          (40, 40, 40), -1)
-            for dv in range(-25, 30, 5):
-                v = (round(value / 5) * 5) + dv
-                if v < 0:
-                    continue
-                y = int(cy - (v - value) * 4)
-                if cy - 110 < y < cy + 110:
-                    cv2.line(overlay, (x0 + 54, y), (x0 + 66, y), WHITE, 1)
-                    cv2.putText(overlay, "%d" % v, (x0 + 6, y + 4),
-                                cv2.FONT_HERSHEY_SIMPLEX, 0.4, WHITE, 1)
-            cv2.rectangle(overlay, (x0 - 2, cy - 14), (x0 + 70, cy + 14),
-                          (0, 0, 0), -1)
-            cv2.rectangle(overlay, (x0 - 2, cy - 14), (x0 + 70, cy + 14),
-                          WHITE, 1)
-            cv2.putText(overlay, "%.0f" % value, (x0 + 6, cy + 7),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, WHITE, 2)
-            cv2.putText(overlay, label, (x0 + 8, cy - 126),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, WHITE, 1)
-        cv2.addWeighted(overlay, 0.65, frame, 0.35, 0, dst=frame)
+        return max(0.4, math.hypot(w, h) / 1400.0)
+
+    def draw_tapes_glass(self, frame, cv2):
+        """Glass-cockpit speed/altitude tapes, reference geometry
+        (hud_glass.py:1188-1266 draw_speed_tape and :1268-1375
+        draw_altitude_tape): tape axis at 0.2w / 0.8w spanning
+        0.2h..0.8h, 1-unit tic rows with 5-unit labeled majors, a
+        pointer-pentagon value box at mid-height, an AP bug heptagon,
+        and (altitude only) ground / max-altitude limit bars."""
+        spd = self.airspeed if self.airspeed_units == "kt" \
+            else self.airspeed * KT2MPS
+        alt_disp = self.altitude * M2FT if self.altitude_units == "ft" \
+            else self.altitude
+        ground = self.ground_m * M2FT if self.altitude_units == "ft" \
+            else self.ground_m
+        ceiling = ground + (400.0 if self.altitude_units == "ft"
+                            else 121.92)
+        self._draw_tape(frame, cv2, side=-1, value=spd,
+                        bug=self.ap_speed, units=self.airspeed_units,
+                        tick_unit=1.0, label_fmt="%d",
+                        lo=0, hi=65, green_band=(20, 40))
+        self._draw_tape(frame, cv2, side=+1, value=alt_disp,
+                        bug=self.ap_alt, units=self.altitude_units,
+                        tick_unit=10.0, label_fmt="%d",
+                        lo=int(alt_disp / 100) * 100 - 300,
+                        hi=int(alt_disp / 100) * 100 + 300,
+                        ground=ground, ceiling=ceiling)
+
+    def _draw_tape(self, frame, cv2, side, value, bug, units, tick_unit,
+                   label_fmt, lo, hi, green_band=None, ground=None,
+                   ceiling=None):
+        """One vertical tape. side=-1: left (speed, box points right);
+        side=+1: right (altitude, box points left). Geometry per
+        hud_glass.py:1188-1375."""
+        h, w = frame.shape[:2]
+        font = cv2.FONT_HERSHEY_SIMPLEX
+        fs = self._glass_font_size(frame)
+        lw = self.lw
+        pad = 5 + lw * 2
+        cy = int(h * 0.5)
+        cx = int(w * 0.2) if side < 0 else int(w * 0.8)
+        miny = int(h * 0.2)
+        maxy = h - miny
+        if side > 0:
+            box_label = "%.0f" % (round(value / 10.0) * 10)
+        else:
+            box_label = "%.0f" % value
+        tsz = cv2.getTextSize(box_label, font, fs, lw)
+        xsize = tsz[0][0] + pad
+        ysize = tsz[0][1] + pad
+        # px per tick row: speed rows are half a text height apart, the
+        # coarser altitude rows a full one (hud_glass.py:1204,1289)
+        spacing = int(round(tsz[0][1] * 0.5)) if side < 0 else tsz[0][1]
+
+        def row_y(v):
+            return cy - int((v - value) / tick_unit * spacing)
+
+        # AP bug: heptagon notched on the tape side (orchid)
+        by = row_y(bug)
+        if self.flight_mode == "auto" and miny <= by <= maxy:
+            e = side * int(ysize * 0.7)
+            pts = np.array([[(cx, by), (cx + e, by - int(ysize / 2)),
+                             (cx + e, by - ysize), (cx, by - ysize),
+                             (cx, by + ysize), (cx + e, by + ysize),
+                             (cx + e, by + int(ysize / 2))]])
+            cv2.fillPoly(frame, pts, ORCHID)
+
+        if ground is not None:
+            gy = row_y(ground)
+            if miny <= gy <= maxy:
+                cv2.line(frame, (cx + 2, gy),
+                         (cx + 2, min(gy + 5 * spacing, maxy)), RED,
+                         lw * 4, cv2.LINE_AA)
+        if ceiling is not None:
+            my = row_y(ceiling)
+            if miny <= my <= maxy:
+                cv2.line(frame, (cx + 2, my),
+                         (cx + 2, max(my - 5 * spacing, miny)), YELLOW,
+                         lw * 4, cv2.LINE_AA)
+        if green_band is not None:
+            y0 = min(max(row_y(green_band[0]), miny), maxy)
+            y1 = min(max(row_y(green_band[1]), miny), maxy)
+            cv2.line(frame, (cx, y0), (cx, y1), GREEN2, lw, cv2.LINE_AA)
+
+        # tic rows: minor every tick_unit, labeled major every 5
+        n_lo, n_hi = int(lo / tick_unit), int(hi / tick_unit)
+        for i in range(n_lo, n_hi):
+            y = row_y(i * tick_unit)
+            if not (miny <= y <= maxy):
+                continue
+            ln = 6 if i % 5 == 0 else 4
+            cv2.line(frame, (cx, y), (cx + side * ln, y), WHITE, lw,
+                     cv2.LINE_AA)
+        for i in range(n_lo, n_hi, 5):
+            y = row_y(i * tick_unit)
+            if not (miny <= y <= maxy):
+                continue
+            label = label_fmt % int(i * tick_unit)
+            lsz = cv2.getTextSize(label, font, fs, lw)
+            if side < 0:
+                ux = cx - 8 - lsz[0][0]
+            else:
+                ux = cx + 8
+            cv2.putText(frame, label, (ux, y + int(lsz[0][1] / 2)), font,
+                        fs, WHITE, lw, cv2.LINE_AA)
+
+        # value box: pointer pentagon, black fill, white outline
+        e = side * int(ysize * 0.7)
+        pts = np.array([[(cx, cy), (cx + e, cy - int(ysize / 2)),
+                         (cx + e + side * xsize, cy - int(ysize / 2)),
+                         (cx + e + side * xsize, cy + int(ysize / 2) + 1),
+                         (cx + e, cy + int(ysize / 2) + 1)]])
+        cv2.fillPoly(frame, pts, (0, 0, 0))
+        cv2.polylines(frame, pts, True, WHITE, lw, cv2.LINE_AA)
+        if side < 0:
+            ux = int(cx - ysize * 0.7 - tsz[0][0])
+        else:
+            ux = int(cx + ysize * 0.7)
+        cv2.putText(frame, box_label, (ux, cy + int(tsz[0][1] / 2)), font,
+                    fs, WHITE, lw, cv2.LINE_AA)
+
+        # units label under the tape
+        lsz = cv2.getTextSize(units, font, fs, lw)
+        ux = cx + side * int((ysize + xsize) * 0.5) - int(lsz[0][1] * 0.5)
+        cv2.putText(frame, units, (ux, maxy + lsz[0][1] + lw * 2), font,
+                    fs, WHITE, lw, cv2.LINE_AA)
 
     def draw_dg(self, frame, cv2):
-        """Glass directional gyro: rotating compass rose at bottom center
-        with nose marker, AP heading bug and ground-course arrow
-        (hud_glass.py:584-712 — the reference composites a PNG rose; here
-        the rose is drawn programmatically, same symbology)."""
+        """Glass directional gyro (hud_glass.py:584-712). The reference
+        composites a pre-rendered PNG rose (hdg_hud.png, alpha art in an
+        annulus: 5-deg tics 0.88R..0.99R, 10-deg tics from 0.828R, 30-deg
+        labels N/3/6/E/... centered near 0.67R), sized 0.25*frame_w,
+        rotated to heading, cropped to its top 70% and bottom-anchored at
+        the nose column. Here the same rose is drawn programmatically at
+        the same annulus geometry, plus the white center marker, the AP
+        heading bug arc and the ground-course arrow."""
         h, w = frame.shape[:2]
-        radius = int(w * 0.125)
-        cx = w // 2
-        cy = h - int(radius * 0.35)       # face mostly below the frame edge
-        yaw = self.ypr[0] * D2R
+        rows = int(round(w * 0.25))       # rose bitmap size = 0.25w
+        radius = rows // 2
+        hdg_rows = int(rows * 0.7)        # cropped to the top 70%
+        cx = self.nose_uv[0] if self.nose_uv else w // 2
+        row_start = h - hdg_rows - 1
+        cy = row_start + int(round(rows * 0.5))
+        top = (cx, row_start)
+        size1 = int(round(hdg_rows * 0.04))
+        size2 = int(round(hdg_rows * 0.09))
+        psi = self.ypr[0] * D2R
+        y_crop = row_start + hdg_rows     # nothing below survives the crop
 
-        overlay = frame.copy()
-        cv2.circle(overlay, (cx, cy), radius, (40, 40, 40), -1)
-        cv2.addWeighted(overlay, 0.5, frame, 0.5, 0, dst=frame)
-        cv2.circle(frame, (cx, cy), radius, WHITE, 1, cv2.LINE_AA)
+        def rim(theta, r_frac):
+            """Point at screen angle theta (rad, clockwise from 12
+            o'clock) and radius fraction r_frac of the rose."""
+            return (int(round(cx + r_frac * radius * math.sin(theta))),
+                    int(round(cy - r_frac * radius * math.cos(theta))))
 
         for hdg in range(0, 360, 5):
-            a = (hdg * D2R) - yaw - math.pi / 2
-            major = hdg % 30 == 0
-            r0 = radius - (12 if major else 6)
-            p0 = (int(cx + r0 * math.cos(a)), int(cy + r0 * math.sin(a)))
-            p1 = (int(cx + radius * math.cos(a)),
-                  int(cy + radius * math.sin(a)))
-            cv2.line(frame, p0, p1, WHITE, 1, cv2.LINE_AA)
-            if major:
+            a = hdg * D2R - psi
+            r_in = 0.88 if hdg % 10 else 0.828
+            p0, p1 = rim(a, r_in), rim(a, 0.99)
+            if max(p0[1], p1[1]) > y_crop:
+                continue
+            cv2.line(frame, p0, p1, WHITE, self.lw, cv2.LINE_AA)
+            if hdg % 30 == 0:
                 lbl = {0: "N", 90: "E", 180: "S", 270: "W"}.get(
                     hdg, str(hdg // 10))
-                rl = radius - 24
-                pl = (int(cx + rl * math.cos(a)),
-                      int(cy + rl * math.sin(a)))
-                self.draw_label(frame, cv2, lbl, pl, 0.4, color=WHITE)
+                fs = 0.11 * radius / 22.0  # text height ~0.11R
+                lsz = cv2.getTextSize(lbl, cv2.FONT_HERSHEY_SIMPLEX, fs,
+                                      self.lw)
+                pl = rim(a, 0.665)
+                if pl[1] + lsz[0][1] // 2 <= y_crop:
+                    cv2.putText(frame, lbl,
+                                (pl[0] - lsz[0][0] // 2,
+                                 pl[1] + lsz[0][1] // 2),
+                                cv2.FONT_HERSHEY_SIMPLEX, fs, WHITE,
+                                self.lw, cv2.LINE_AA)
 
-        # nose marker (fixed, top of the rose)
-        cv2.fillPoly(frame, [np.array([[cx, cy - radius - 2],
-                                       [cx - 6, cy - radius - 12],
-                                       [cx + 6, cy - radius - 12]])],
-                     WHITE)
-        # AP heading bug (rotates with the rose)
-        if self.flight_mode == "auto":
-            a = (self.ap_hdg * D2R) - yaw - math.pi / 2
-            for rr, ss in ((radius - 4, 8),):
-                bx = int(cx + rr * math.cos(a))
-                by = int(cy + rr * math.sin(a))
-                cv2.rectangle(frame, (bx - ss, by - 4), (bx + ss, by + 4),
-                              (211, 85, 186), -1)
-        # ground-course arrow from filtered velocity
+        def rot_all(pts, a):
+            return [self._rotate_pt(p, (cx, cy), a) for p in pts]
+
+        # AP heading bug: rim arc spanning +/-10 deg, depth size2 (orchid,
+        # hud_glass.py:619-636)
+        if self.flight_mode is not None and self.flight_mode != "manual":
+            rot = self.ap_hdg * D2R - psi
+            rot = (rot + math.pi) % (2 * math.pi) - math.pi
+            ref1, ref2 = top, (cx, row_start + size2)
+            arc = [rot_all([ref1, ref2], rot + d * D2R)
+                   for d in (-10, -5, 0, 5, 10)]
+            pts = np.array([[arc[0][0], arc[1][0], arc[2][0], arc[3][0],
+                             arc[4][0], arc[4][1], arc[3][1], arc[2][0],
+                             arc[1][1], arc[0][1]]])
+            cv2.fillPoly(frame, pts, ORCHID)
+
+        # white center marker above the rose top (hud_glass.py:656-660)
+        cv2.fillPoly(frame, np.array([[top,
+                                       (cx - size1, top[1] - size2),
+                                       (cx + size1, top[1] - size2)]]),
+                     (255, 255, 255))
+
+        # ground-course arrow: shaft from just inside the rim to the rose
+        # center plus a filled head, rotated to the persisted course
+        # (hud_glass.py:662-683 — gc_rad only updates when moving)
         gs = math.hypot(self._vel_filt[0], self._vel_filt[1])
         if gs > 0.5:
-            crs = math.atan2(self._vel_filt[1], self._vel_filt[0])
-            a = crs - yaw - math.pi / 2
-            p1 = (int(cx + (radius - 18) * math.cos(a)),
-                  int(cy + (radius - 18) * math.sin(a)))
-            cv2.line(frame, (cx, cy), p1, (0, 220, 220), 2, cv2.LINE_AA)
+            self._gc_rad = math.atan2(self._vel_filt[1], self._vel_filt[0])
+        gc_rot = self._gc_rad - psi
+        gc_rot = (gc_rot + math.pi) % (2 * math.pi) - math.pi
+        nose = (cx, row_start + 1)
+        uv = rot_all([nose, (cx - size1, nose[1] + size2),
+                      (cx + size1, nose[1] + size2),
+                      (cx, row_start + size1), (cx, cy)], gc_rot)
+        cv2.polylines(frame, np.array([[uv[3], uv[4]]]), False, YELLOW,
+                      int(round(self.lw * 1.5)), cv2.LINE_AA)
+        cv2.fillPoly(frame, np.array([[uv[0], uv[1], uv[2]]]), YELLOW)
+
+        # wind indicator: center-out arrow scaled by wind speed (royal
+        # blue, hud_glass.py:685-712)
+        if self.wind_deg != 0 or self.wind_kt != 0:
+            max_wind = self.ap_speed if self.ap_speed > 0.1 else 30.0
+            wind_kt = min(self.wind_kt, max_wind)
+            wc_rot = self.wind_deg * D2R - psi
+            wc_rot = (wc_rot + math.pi) % (2 * math.pi) - math.pi
+            s1 = int(round(hdg_rows * 0.05))
+            s2 = int(round(hdg_rows * 0.1))
+            s3 = max(int(round(radius * (wind_kt / max_wind))), s1 + s2)
+            uv = rot_all([(cx, cy), (cx - s1, cy - s2), (cx + s1, cy - s2),
+                          (cx, cy - s1), (cx, cy - s3)], wc_rot)
+            cv2.polylines(frame, np.array([[uv[3], uv[4]]]), False,
+                          ROYALBLUE, int(round(self.lw * 1.5)), cv2.LINE_AA)
+            cv2.fillPoly(frame, np.array([[uv[0], uv[1], uv[2]]]),
+                         ROYALBLUE)
 
     def draw_roll_indicator(self, frame, cv2):
-        """Sky-pointer roll arc at the top (hud_glass.py bank indicator)."""
-        h, w = frame.shape[:2]
-        cx = w // 2
-        cyc = 110
-        radius = 70
-        for ang in (-60, -45, -30, -20, -10, 0, 10, 20, 30, 45, 60):
-            a = math.radians(ang - 90)
-            x1 = int(cx + radius * math.cos(a))
-            y1 = int(cyc + radius * math.sin(a))
-            ln = 10 if ang % 30 == 0 else 6
-            x2 = int(cx + (radius - ln) * math.cos(a))
-            y2 = int(cyc + (radius - ln) * math.sin(a))
-            cv2.line(frame, (x1, y1), (x2, y2), self.color, 1)
-        roll = self.ypr[2]
-        a = math.radians(-roll - 90)
-        px = int(cx + (radius - 14) * math.cos(a))
-        py = int(cyc + (radius - 14) * math.sin(a))
-        cv2.drawMarker(frame, (px, py), self.color,
-                       cv2.MARKER_TRIANGLE_UP, 12, 2)
+        """Bank-angle arc: 12-deg angular radius about the boresight, arc
+        and tics counter-rotate with roll (sky pointer), white triangles
+        for the zero marker (rolls) and the roll pointer (image-fixed)
+        (hud_glass.py:812-871)."""
+        scale = 12.0
+        a1 = scale
+        a2 = scale * 0.1
+        a3 = scale * 0.06
+        nose = self._cam_uv(0.0, 0.0)
+        if nose is None:
+            return
+        rot = -self.ypr[2] * D2R
+
+        def arc_pt(ang_deg, r):
+            return self._cam_uv(math.cos(ang_deg * D2R) * r,
+                                math.sin(ang_deg * D2R) * r)
+
+        arc = [self._rotate_pt(arc_pt(a, a1), nose, rot)
+               for a in range(-60, 61, 5)]
+        cv2.polylines(frame, np.array([arc]), False, (255, 255, 255),
+                      self.lw, cv2.LINE_AA)
+        for ang, ln in ((-60, a2), (-30, a2), (30, a2), (60, a2),
+                        (-45, a3), (45, a3), (-20, a3), (20, a3),
+                        (-10, a3), (10, a3)):
+            tic = [self._rotate_pt(arc_pt(ang, a1), nose, rot),
+                   self._rotate_pt(arc_pt(ang, a1 + ln), nose, rot)]
+            cv2.polylines(frame, np.array([tic]), False, (255, 255, 255),
+                          self.lw, cv2.LINE_AA)
+        # zero marker (counter-rotates) and roll pointer (image-fixed)
+        tri = [self._cam_uv(a1, 0.0), self._cam_uv(a1 + a2, 0.66),
+               self._cam_uv(a1 + a2, -0.65)]
+        cv2.fillPoly(frame, np.array([[self._rotate_pt(p, nose, rot)
+                                       for p in tri]]), (255, 255, 255))
+        tri = [self._cam_uv(a1, 0.0), self._cam_uv(a1 - a2, 0.66),
+               self._cam_uv(a1 - a2, -0.65)]
+        cv2.fillPoly(frame, np.array([tri]), (255, 255, 255))
 
     def draw_horizon(self, frame, cv2):
         """True horizon: points at zero elevation angle, far away
@@ -594,26 +812,51 @@ class HUD:
         uv = self.project(np.asarray(pts))
         self._polyline(frame, cv2, uv)
 
-    def draw_pitch_ladder(self, frame, cv2):
-        for pitch in range(-30, 35, 5):
-            if pitch == 0:
-                continue
-            uv = self.project(self._ladder_points(pitch, width_deg=6.0))
-            if np.isnan(uv).any():
-                continue
-            p1, p2 = uv.astype(int)
-            dashed = pitch < 0
-            if dashed:
-                mid1 = p1 + (p2 - p1) * 0.33
-                mid2 = p1 + (p2 - p1) * 0.67
-                cv2.line(frame, tuple(p1), tuple(mid1.astype(int)),
-                         self.color, self.lw)
-                cv2.line(frame, tuple(mid2.astype(int)), tuple(p2),
-                         self.color, self.lw)
-            else:
-                cv2.line(frame, tuple(p1), tuple(p2), self.color, self.lw)
-            cv2.putText(frame, str(abs(pitch)), tuple(p2 + [8, 4]),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, self.color, 1)
+    def draw_pitch_ladder(self, frame, cv2, beta_rad=0.0):
+        """Pitch ladder: solid rungs above the horizon, 3-dash slanted
+        rungs below, 0.5-deg end ticks, degree labels at a 1.25x rung
+        extension; rungs span 2..8 deg either side of the heading
+        (hud_glass.py:398-481)."""
+        a1, a2 = 2.0, 8.0
+        yaw = self.ypr[0] * D2R
+        fs = self._glass_font_size(frame)
+
+        def lad(p, dy):
+            return self._ladder_uv(frame, yaw, p, dy)
+
+        def label(uv1, uv2, a0):
+            du, dv = uv2[0] - uv1[0], uv2[1] - uv1[1]
+            self.draw_label(frame, cv2, "%d" % a0,
+                            (uv1[0] + int(1.25 * du), uv1[1] + int(1.25 * dv)),
+                            fs)
+
+        for a0 in range(5, 35, 5):
+            for sgn in (1, -1):
+                # above horizon: solid rung + end tick + label
+                uv1, uv2 = lad(a0, sgn * a1), lad(a0, sgn * a2)
+                if uv1 is not None and uv2 is not None:
+                    cv2.line(frame, uv1, uv2, self.color, self.lw,
+                             cv2.LINE_AA)
+                    label(uv1, uv2, a0)
+                t1, t2 = lad(a0 - 0.5, sgn * a1), lad(a0, sgn * a1)
+                if t1 is not None and t2 is not None:
+                    cv2.line(frame, t1, t2, self.color, self.lw,
+                             cv2.LINE_AA)
+                # below horizon: three slanted dashes + end tick + label
+                uv1, uv2 = lad(-a0, sgn * a1), lad(-a0 - 0.5, sgn * a2)
+                if uv1 is not None and uv2 is not None:
+                    du, dv = uv2[0] - uv1[0], uv2[1] - uv1[1]
+                    for i in range(3):
+                        d1 = (uv1[0] + int(0.375 * i * du),
+                              uv1[1] + int(0.375 * i * dv))
+                        d2 = (d1[0] + int(0.25 * du), d1[1] + int(0.25 * dv))
+                        cv2.line(frame, d1, d2, self.color, self.lw,
+                                 cv2.LINE_AA)
+                    label(uv1, uv2, a0)
+                t1, t2 = lad(-a0 + 0.5, sgn * a1), lad(-a0, sgn * a1)
+                if t1 is not None and t2 is not None:
+                    cv2.line(frame, t1, t2, self.color, self.lw,
+                             cv2.LINE_AA)
 
     def draw_heading(self, frame, cv2):
         """Compass ribbon along the top (reference hud.py:648-700)."""

@@ -120,8 +120,15 @@ def build_huds():
         t = s["time_s"] - (40 - i) * 0.5
         p = s["ned"] - s["vel_ned"] * (s["time_s"] - t)
         ours.update_ned_history(t, p)
+    # steady-state velocity filter (both HUDs low-pass velocity inside
+    # their draw loops; one-shot symbol calls need the converged value)
+    ours._vel_filt = np.asarray(s["vel_ned"], float).copy()
 
     ref = hud_glass.HUD()
+    if ref.dg_img is None:  # cv2.imread('hdg_hud.png') is CWD-relative
+        ref.dg_img = cv2.imread(os.path.join(REF_VIDEO, "hdg_hud.png"), -1)
+    ref.nose_uv = None      # [0,0] default would anchor the dg at col 0
+                            # (set to cam_helper(0,0) after update_camera)
     ref.set_render_size(W, H)
     ref.set_line_width(2)
     size = math.sqrt(W * W + H * H)
@@ -148,6 +155,10 @@ def build_huds():
     ref.update_act(*s["act"])
     ref.update_time(s["time_s"], 0.0)  # unixtime 0 keeps astro off
     ref.set_ground_m(s["ground_m"])
+    ref.filter_vn, ref.filter_ve = float(s["vel_ned"][0]), \
+        float(s["vel_ned"][1])
+    ref.vel_filt = [float(v) for v in s["vel_ned"]]
+    ref.nose_uv = ref.cam_helper(0.0, 0.0)  # as ref draw() does (l.1617)
     return ours, ref
 
 
@@ -228,8 +239,6 @@ def main(argv=None):
                             lambda: ref_draw("draw_velocity_vector")),
         "track": (lambda: ours_draw("draw_track"),
                   lambda: ref_draw("draw_track")),
-        "alpha_beta": (lambda: ours_draw("draw_alpha_beta_marker"),
-                       lambda: ref_draw("draw_alpha_beta_marker")),
         "sticks": (lambda: ours_draw("draw_sticks"),
                    lambda: ref_draw("draw_sticks")),
         "time": (lambda: ours_draw("draw_time"),
@@ -264,7 +273,9 @@ def main(argv=None):
         "criteria": "dilated(3px) IoU >= 0.5 AND chamfer <= 4 px",
         "excluded": ["astro (ephem)", "airports (apt.csv db)",
                      "task/gate (rcUAS task records)",
-                     "events/test_index (flight-log records)"],
+                     "events/test_index (flight-log records)",
+                     "alpha_beta (reference disables it: hud_glass.py:483 "
+                     "'if True: return'; ours implements the marker)"],
         "symbols": report,
         "equivalent": n_eq,
         "total": len(report),

@@ -88,6 +88,23 @@ def quaternion_multiply(quaternion1, quaternion0):
     ], dtype=np.float64)
 
 
+def quaternion_about_axis(angle, axis):
+    """Quaternion [w, x, y, z] for rotation by *angle* about *axis*
+    (reference hud_glass.py:10,716 uses it for the heading-bug azimuth)."""
+    a = unit_vector(np.asarray(axis, dtype=np.float64)[:3])
+    return np.concatenate(([math.cos(angle / 2.0)],
+                           a * math.sin(angle / 2.0)))
+
+
+def quaternion_transform(quaternion, vector):
+    """Transform *vector* INTO the frame rotated by *quaternion*
+    ([w, x, y, z]) — i.e. R(q)^T v. This is the reference's own extension
+    (scripts/lib/archive/transformations.py:1603-1612), used by the HUD
+    ar/cam helpers (hud_glass.py:348-373)."""
+    M = quaternion_matrix(quaternion)
+    return M[:3, :3].T @ np.asarray(vector, dtype=np.float64)[:3]
+
+
 def quaternion_matrix(quaternion):
     """4x4 homogeneous rotation matrix from [w, x, y, z] quaternion."""
     q = np.asarray(quaternion, dtype=np.float64).copy()
