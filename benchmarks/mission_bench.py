@@ -184,11 +184,27 @@ def main(argv=None):
     match_s = times.get("match", float("nan"))
     ba_s = ba_stats.get("wall_s", times.get("ba", float("nan")))
 
+    # --- stall watchdog (VERDICT r4 next #1): a wedged TPU worker shows
+    # up as a multi-minute per-image tick; separate that from the steady
+    # state so one wedge cannot contaminate the headline number. Stall
+    # time is EXCESS over the median tick, reported alongside (never
+    # silently dropped): pipeline_total_s stays the raw wall,
+    # detect_s/pipeline_total_s_stall_free are the corrected views.
+    ticks = list(detect_mod.LAST_DETECT_TICK_S)
+    stalls = []
+    stall_excess_s = 0.0
+    if ticks:
+        med = float(np.median(ticks))
+        thresh = max(detect_mod.STALL_TICK_S, 20.0 * med)
+        stalls = [round(t, 1) for t in ticks if t > thresh]
+        stall_excess_s = sum(t - med for t in ticks if t > thresh)
+
     # --- extrapolation to the 2812-image target ---------------------------
     # detection and matching scale ~linearly in images/pairs; BA is the
     # wildcard (scales superlinearly) — report it separately, do not hide it
     scale_f = 2812.0 / args.n_images
-    est_2812_1chip = (detect_s + match_s) * scale_f + ba_s * scale_f
+    detect_model_s = detect_s - stall_excess_s   # extrapolate steady state
+    est_2812_1chip = (detect_model_s + match_s) * scale_f + ba_s * scale_f
 
     # 8-chip estimate: parallel stages (detect/match/BA/render — all
     # process-sharded in apps/process.py) divide by 8 and pay each stage's
@@ -220,7 +236,7 @@ def main(argv=None):
                    ("matcher_init", "requalify", "link", "triangulate",
                     "groups"))
     render_s_ = times.get("render", 0.0)
-    par_stage_s = {"detect": detect_s, "match": match_s, "ba": ba_s,
+    par_stage_s = {"detect": detect_model_s, "match": match_s, "ba": ba_s,
                    "render": render_s_}
     par_s = sum(par_stage_s.values())
     par_est = {}
@@ -238,6 +254,15 @@ def main(argv=None):
         "pipeline_total_s": round(total_s, 1),
         "detect_s": round(detect_s, 1),
         "detect_s_per_img": round(detect_s / args.n_images, 3),
+        "detect_stalls": {
+            "n": len(stalls), "stall_ticks_s": stalls,
+            "excess_s": round(stall_excess_s, 1),
+            "detect_s_stall_free": round(detect_s - stall_excess_s, 1),
+            "pipeline_total_s_stall_free": round(total_s - stall_excess_s,
+                                                 1),
+            "policy": "tick > max(30 s, 20x median tick); excess over the "
+                      "median is attributed to the stall",
+        },
         "match_s": round(match_s, 1),
         "n_surviving_pairs": n_pairs,
         "match_attempted_pairs": attempted,

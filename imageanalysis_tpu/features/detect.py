@@ -195,6 +195,15 @@ def _auto_device_batch(shape):
     return 1 << (b.bit_length() - 1)
 
 
+# per-image loop-tick wall times of the most recent detect_project_features
+# run — the stall watchdog for long benches: a wedged TPU worker shows up
+# as a multi-minute tick, and benchmarks/mission_bench.py separates those
+# from the steady-state detect wall instead of letting one wedge
+# contaminate the headline number (r4run2 lost 1116 s to 4 stalls).
+LAST_DETECT_TICK_S: list = []
+STALL_TICK_S = 30.0            # a tick this long is logged as a stall
+
+
 def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                             progress=True, prefetch=4):
     """Detect (or load cached) features for every image in the project.
@@ -204,6 +213,7 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
     cv2/gzip release the GIL, so per-image wall-clock is
     max(host, device) instead of their sum."""
     import concurrent.futures as cf
+    import time as _time
 
     from ..io.logger import log, qlog
 
@@ -312,6 +322,8 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             batch_imgs.clear()
             batch_scaled.clear()
 
+        LAST_DETECT_TICK_S.clear()
+        t_prev = _time.perf_counter()
         for _tick in it:
             fut = window.pop(0)
             for im in src:
@@ -340,11 +352,21 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                 kp, kp_meta, des = detect_scaled(scaled, config)
                 pending.append(writers.submit(
                     store, image, kp / config.scale, kp_meta, des))
+            now = _time.perf_counter()
+            tick = now - t_prev
+            t_prev = now
+            LAST_DETECT_TICK_S.append(tick)
+            if tick > STALL_TICK_S:
+                log(f"detect: STALL {tick:.1f}s on tick for {image.name} "
+                    f"(TPU-worker wedge?) — recorded for the bench watchdog")
         flush()
         if inflight is not None:
             finalize(inflight)
         for p in pending:
             p.result()
+        tail = _time.perf_counter() - t_prev
+        if LAST_DETECT_TICK_S:
+            LAST_DETECT_TICK_S[-1] += tail   # drain time of the last batch
     if n_proc > 1:
         from ..parallel import multihost
         multihost.barrier("detect")

@@ -191,11 +191,13 @@ class HUD:
         """Boresight-relative angle-space point in IMAGE coordinates
         (reference cam_helper, hud_glass.py:359-373 with zero mount
         offsets): a0 up, a1 right, degrees. Pure pinhole math — these
-        symbols ride the image, not the world."""
+        symbols ride the image, not the world. Returns None behind the
+        camera (the reference's project_xyz culls at z <= 0.2,
+        camera.py:152)."""
         a0 = a0_deg * D2R
         a1 = a1_deg * D2R
         K = self.cam.K
-        if math.cos(a0) == 0.0:
+        if math.cos(a0) * math.cos(a1) <= 0.2:
             return None
         u = K[0, 2] + K[0, 0] * math.tan(a1) / math.cos(a0)
         v = K[1, 2] - K[1, 1] * math.tan(a0)
@@ -256,6 +258,11 @@ class HUD:
     def draw(self, frame):
         import cv2
 
+        # ground-velocity low-pass runs once per frame at the top of the
+        # draw loop (reference hud_glass.py:1612-1614), so the course and
+        # dg arrows are current even in manual mode
+        tf = 0.2
+        self._vel_filt = (1.0 - tf) * self._vel_filt + tf * self.vel_ned
         # conformal symbols (hud.py:987-1002)
         self.draw_horizon(frame, cv2)
         if self.show_compass:
@@ -379,17 +386,23 @@ class HUD:
 
     # -- fixed extras -------------------------------------------------------
     def draw_sticks(self, frame, cv2):
-        """Pilot/actuator stick boxes, auto selects the active source
-        (hud.py:835-874)."""
+        """Pilot/actuator stick boxes, auto selects the active source.
+        glass geometry at 0.29w/0.85h in white (hud_glass.py draw_sticks);
+        classic at 0.1h/0.8h in the HUD color (hud.py:835-874)."""
         stick = (self.act_stick if self.flight_mode == "auto"
                  else self.pilot_stick) or (0.0, 0.0, 0.0, 0.0)
         ail, ele, thr, rud = stick
         h, w = frame.shape[:2]
-        lx, ly = int(w * 0.29), int(h * 0.85)
-        rx, ry = w - int(w * 0.29), int(h * 0.85)
+        if self.style == "glass":
+            lx, ly = int(w * 0.29), int(h * 0.85)
+            rx, ry = w - int(w * 0.29), int(h * 0.85)
+            white = (255, 255, 255)
+        else:
+            lx, ly = int(h * 0.1), int(h * 0.8)
+            rx, ry = w - int(h * 0.1), int(h * 0.8)
+            white = self.color
         r1 = max(int(round(h * 0.09)), 10)
         r2 = max(int(round(h * 0.01)), 2)
-        white = (255, 255, 255)
         for cx, cy in ((lx, ly), (rx, ry)):
             cv2.circle(frame, (cx, cy), r1, white, self.lw, cv2.LINE_AA)
             cv2.line(frame, (cx, cy - r1), (cx, cy + r1), white, 1,
@@ -425,9 +438,12 @@ class HUD:
                    cv2.LINE_AA)
 
     def draw_vbars(self, frame, cv2):
-        """Flight-director command bars: filled orchid wedges at the AP
-        pitch target, rolled to the AP roll target about the boresight
-        (hud_glass.py:533-583; 12-deg span at 20-deg sweep)."""
+        """Flight-director command bars. glass: filled orchid wedges at
+        the AP pitch target, rolled to the AP roll target about the
+        boresight (hud_glass.py:533-583; 12-deg span at 20-deg sweep).
+        classic: world-conformal line vbars (hud.py:376-425)."""
+        if self.style != "glass":
+            return self._draw_vbars_classic(frame, cv2)
         scale = 12.0
         ang = 20.0 * D2R
         a1 = scale * math.cos(ang)
@@ -435,16 +451,19 @@ class HUD:
         a2 = a3 * 0.4
         a0 = -self.ypr[1] + self.ap_pitch   # boresight-relative pitch cmd
         nose = self._cam_uv(0.0, 0.0)
-        if nose is None:
+        c0 = self._cam_uv(a0, 0.0)
+        if nose is None or c0 is None:
             return
         rot = -self.ypr[2] * D2R + self.ap_roll * D2R
-        center = self._rotate_pt(self._cam_uv(a0, 0.0), nose, rot)
+        center = self._rotate_pt(c0, nose, rot)
         half_width = max(int(self.lw * 0.5), 1)
         dark_orchid = (139, 56, 123)
         for sgn in (1, -1):
             tmp = [self._cam_uv(a0 - a3, sgn * a1),
                    self._cam_uv(a0 - a3, sgn * (a1 + a2)),
                    self._cam_uv(a0 - (a3 - a2), sgn * (a1 + a2))]
+            if any(p is None for p in tmp):
+                continue
             uv = [self._rotate_pt(p, nose, rot) for p in tmp]
             pts = np.array([[center, uv[0], uv[1], uv[2]]])
             cv2.fillPoly(frame, pts, ORCHID)
@@ -452,6 +471,31 @@ class HUD:
                      cv2.LINE_AA)
             cv2.polylines(frame, pts, True, (0, 0, 0), half_width,
                           cv2.LINE_AA)
+
+    def _draw_vbars_classic(self, frame, cv2):
+        """Line flight-director vbars, world-conformal at the AP pitch,
+        rotated about the nose by the AP roll (reference hud.py:376-425:
+        a1=10, a2=1.5, a3=3 deg, medium orchid)."""
+        color = ORCHID
+        a1, a2, a3 = 10.0, 1.5, 3.0
+        yaw = self.ypr[0] * D2R
+        a0 = self.ap_pitch
+        rot_pt = self._ladder_uv(frame, yaw, self.ypr[1], 0.0)  # nose
+        tmp0 = self._ladder_uv(frame, yaw, a0, 0.0)
+        if rot_pt is None or tmp0 is None:
+            return
+        roll = self.ap_roll * D2R
+        center = self._rotate_pt(tmp0, rot_pt, roll)
+        for sgn in (1, -1):
+            tmp = [self._ladder_uv(frame, yaw, a0 - a3, sgn * a1),
+                   self._ladder_uv(frame, yaw, a0 - a3, sgn * (a1 + a3)),
+                   self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 + a3))]
+            if any(p is None for p in tmp):
+                continue
+            uv1, uv2, uv3 = (self._rotate_pt(p, rot_pt, roll) for p in tmp)
+            for p, q in ((center, uv1), (center, uv3), (uv1, uv2),
+                         (uv1, uv3), (uv2, uv3)):
+                cv2.line(frame, p, q, color, self.lw, cv2.LINE_AA)
 
     def draw_heading_bug(self, frame, cv2):
         """AP heading bug on the horizon (hud.py:427-451)."""
@@ -471,9 +515,13 @@ class HUD:
                      cv2.LINE_AA)
 
     def draw_bird(self, frame, cv2):
-        """Attitude 'bird': image-fixed filled yellow/dark-yellow wing
-        wedges about the boresight plus wing-line horizon markers
-        (hud_glass.py:739-811, wing-marker mode)."""
+        """Attitude 'bird'. glass: image-fixed filled yellow/dark-yellow
+        wing wedges about the boresight plus wing-line horizon markers
+        (hud_glass.py:739-811, wing-marker mode). classic: line bird,
+        world-conformal at the current pitch, rolled about the ladder
+        center (hud.py:453-487)."""
+        if self.style != "glass":
+            return self._draw_bird_classic(frame, cv2)
         yellow = YELLOW
         dark_yellow = (33, 170, 170)
         scale = 12.0
@@ -492,6 +540,8 @@ class HUD:
             uv = [self._cam_uv(-a3, sgn * a1),
                   self._cam_uv(-a3, sgn * (a1 - a2)),
                   self._cam_uv(-a3, sgn * (a1 - a3))]
+            if any(p is None for p in uv):
+                continue
             pts1 = np.array([[nose, uv[0], uv[2]]])
             pts2 = np.array([[nose, uv[1], uv[2]]])
             cv2.fillPoly(frame, pts1, yellow)
@@ -505,18 +555,39 @@ class HUD:
                   self._cam_uv(a5, sgn * (a4 + a3)),
                   self._cam_uv(a5, sgn * (a4 + a5)),
                   self._cam_uv(0.0, sgn * (a4 + a3))]
+            if any(p is None for p in uv):
+                continue
             pts1 = np.array([[uv[0], uv[1], uv[2], uv[3], uv[4]]])
             pts2 = np.array([[uv[0], uv[5], uv[3], uv[4]]])
             cv2.fillPoly(frame, pts1, dark_yellow)
             cv2.fillPoly(frame, pts2, yellow)
             cv2.polylines(frame, pts1, True, (0, 0, 0), hw, cv2.LINE_AA)
 
+    def _draw_bird_classic(self, frame, cv2):
+        """Line attitude bird at the current pitch, wings rolled about the
+        center (reference hud.py:453-487: a1=10, a2=3 deg, yellow)."""
+        a1, a2 = 10.0, 3.0
+        yaw = self.ypr[0] * D2R
+        a0 = self.ypr[1]
+        roll = self.ypr[2] * D2R
+        center = self._ladder_uv(frame, yaw, a0, 0.0)
+        if center is None:
+            return
+        self.nose_uv = center
+        for sgn in (1, -1):
+            tmp = [self._ladder_uv(frame, yaw, a0 - a2, sgn * a1),
+                   self._ladder_uv(frame, yaw, a0 - a2, sgn * (a1 - a2))]
+            if any(p is None for p in tmp):
+                continue
+            uv1 = self._rotate_pt(tmp[0], center, roll)
+            uv2 = self._rotate_pt(tmp[1], center, roll)
+            for p, q in ((center, uv1), (center, uv2), (uv1, uv2)):
+                cv2.line(frame, p, q, YELLOW, self.lw, cv2.LINE_AA)
+
     def draw_course(self, frame, cv2):
         """Ground-course caret on the horizon from filtered velocity
-        (hud.py:488-502)."""
+        (hud.py:488-502; the filter itself updates in draw())."""
         color = (0, 220, 220)
-        tf = 0.2
-        self._vel_filt = (1.0 - tf) * self._vel_filt + tf * self.vel_ned
         if np.linalg.norm(self._vel_filt[:2]) < 0.1:
             return
         a = math.atan2(self._vel_filt[1], self._vel_filt[0])
@@ -548,12 +619,18 @@ class HUD:
             else self.ground_m
         ceiling = ground + (400.0 if self.altitude_units == "ft"
                             else 121.92)
+        # AP bugs convert with their tapes (hud_glass.py:1562-1575:
+        # ap_speed*kt2mps for mps, ap_altitude_ft*ft2m for meters)
+        spd_bug = self.ap_speed if self.airspeed_units == "kt" \
+            else self.ap_speed * KT2MPS
+        alt_bug = self.ap_alt if self.altitude_units == "ft" \
+            else self.ap_alt * 0.3048
         self._draw_tape(frame, cv2, side=-1, value=spd,
-                        bug=self.ap_speed, units=self.airspeed_units,
+                        bug=spd_bug, units=self.airspeed_units,
                         tick_unit=1.0, label_fmt="%d",
                         lo=0, hi=65, green_band=(20, 40))
         self._draw_tape(frame, cv2, side=+1, value=alt_disp,
-                        bug=self.ap_alt, units=self.altitude_units,
+                        bug=alt_bug, units=self.altitude_units,
                         tick_unit=10.0, label_fmt="%d",
                         lo=int(alt_disp / 100) * 100 - 300,
                         hi=int(alt_disp / 100) * 100 + 300,
@@ -780,25 +857,32 @@ class HUD:
             return self._cam_uv(math.cos(ang_deg * D2R) * r,
                                 math.sin(ang_deg * D2R) * r)
 
-        arc = [self._rotate_pt(arc_pt(a, a1), nose, rot)
-               for a in range(-60, 61, 5)]
+        arc = [arc_pt(a, a1) for a in range(-60, 61, 5)]
+        if any(p is None for p in arc):
+            return
+        arc = [self._rotate_pt(p, nose, rot) for p in arc]
         cv2.polylines(frame, np.array([arc]), False, (255, 255, 255),
                       self.lw, cv2.LINE_AA)
         for ang, ln in ((-60, a2), (-30, a2), (30, a2), (60, a2),
                         (-45, a3), (45, a3), (-20, a3), (20, a3),
                         (-10, a3), (10, a3)):
-            tic = [self._rotate_pt(arc_pt(ang, a1), nose, rot),
-                   self._rotate_pt(arc_pt(ang, a1 + ln), nose, rot)]
+            t0, t1 = arc_pt(ang, a1), arc_pt(ang, a1 + ln)
+            if t0 is None or t1 is None:
+                continue
+            tic = [self._rotate_pt(t0, nose, rot),
+                   self._rotate_pt(t1, nose, rot)]
             cv2.polylines(frame, np.array([tic]), False, (255, 255, 255),
                           self.lw, cv2.LINE_AA)
         # zero marker (counter-rotates) and roll pointer (image-fixed)
         tri = [self._cam_uv(a1, 0.0), self._cam_uv(a1 + a2, 0.66),
                self._cam_uv(a1 + a2, -0.65)]
-        cv2.fillPoly(frame, np.array([[self._rotate_pt(p, nose, rot)
-                                       for p in tri]]), (255, 255, 255))
+        if all(p is not None for p in tri):
+            cv2.fillPoly(frame, np.array([[self._rotate_pt(p, nose, rot)
+                                           for p in tri]]), (255, 255, 255))
         tri = [self._cam_uv(a1, 0.0), self._cam_uv(a1 - a2, 0.66),
                self._cam_uv(a1 - a2, -0.65)]
-        cv2.fillPoly(frame, np.array([tri]), (255, 255, 255))
+        if all(p is not None for p in tri):
+            cv2.fillPoly(frame, np.array([tri]), (255, 255, 255))
 
     def draw_horizon(self, frame, cv2):
         """True horizon: points at zero elevation angle, far away

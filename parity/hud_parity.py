@@ -72,6 +72,26 @@ STATE = dict(
 )
 
 
+def _track_history(s):
+    """History points IN VIEW of the camera (ahead and below the
+    aircraft), so the track comparison exercises real pixels — a
+    straight-behind history projects behind the camera and both HUDs
+    rendered 0 px, making the old check vacuous (ADVICE r4)."""
+    yaw = math.radians(s["yaw_deg"])
+    fwd = np.array([math.cos(yaw), math.sin(yaw), 0.0])
+    right = np.array([-math.sin(yaw), math.cos(yaw), 0.0])
+    out = []
+    for i in range(40):
+        # 1 s steps: the reference appends at most one point per integer
+        # second of its clock (hud_glass.py:154)
+        t = s["time_s"] - (40 - i) * 1.0
+        d = 120.0 + i * 10.0
+        p = s["ned"] + fwd * d + right * ((i - 20) * 1.5) \
+            + np.array([0.0, 0.0, 25.0])
+        out.append((t, p))
+    return out
+
+
 class _RefCamShim:
     """Duck-typed stand-in for the reference VirtualCamera: plain-ndarray
     project_ned/project_xyz with the reference's exact math
@@ -116,9 +136,7 @@ def build_huds():
     ours.update_airdata(alpha_rad=s["alpha_rad"], beta_rad=s["beta_rad"])
     ours.update_time(s["time_s"])
     ours.ground_m = s["ground_m"]
-    for i in range(40):
-        t = s["time_s"] - (40 - i) * 0.5
-        p = s["ned"] - s["vel_ned"] * (s["time_s"] - t)
+    for t, p in _track_history(s):
         ours.update_ned_history(t, p)
     # steady-state velocity filter (both HUDs low-pass velocity inside
     # their draw loops; one-shot symbol calls need the converged value)
@@ -139,10 +157,11 @@ def build_huds():
     ref.update_camera(_RefCamShim(K, PROJ))
     ref.update_cam_att(0.0, 0.0, 0.0)
     ref.update_ned(s["ned"], 60.0)
-    for i in range(40):
-        t = s["time_s"] - (40 - i) * 0.5
-        p = s["ned"] - s["vel_ned"] * (s["time_s"] - t)
-        ref.update_ned_history(p, 60.0)
+    # the reference appends history only when int(self.time) advances
+    # (hud_glass.py:153-158) — step its clock alongside the points
+    for t, p in _track_history(s):
+        ref.update_time(t, 0.0)
+        ref.update_ned_history(list(p), 60.0)
     ref.update_vel(*s["vel_ned"])
     ref.update_att_rad(math.radians(s["roll_deg"]),
                        math.radians(s["pitch_deg"]),
@@ -188,7 +207,7 @@ def score(frame_a, frame_b, dilate_px=3):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "HUD_PARITY_r4.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "HUD_PARITY_r5.json"))
     ap.add_argument("--dump", default=None,
                     help="directory for per-symbol side-by-side PNGs")
     args = ap.parse_args(argv)
@@ -258,7 +277,13 @@ def main(argv=None):
             report[name] = {"error_ref": repr(e)}
             continue
         sc = score(fo, fr)
-        sc["equivalent"] = bool(sc["iou"] >= 0.5 and sc["chamfer_px"] <= 4.0)
+        if sc["px_ours"] == 0 and sc["px_ref"] == 0:
+            # both drew nothing: certifies nothing — flag, don't count
+            sc["not_exercised"] = True
+            sc["equivalent"] = False
+        else:
+            sc["equivalent"] = bool(sc["iou"] >= 0.5
+                                    and sc["chamfer_px"] <= 4.0)
         report[name] = sc
         if args.dump:
             os.makedirs(args.dump, exist_ok=True)
@@ -266,6 +291,8 @@ def main(argv=None):
             cv2.imwrite(os.path.join(args.dump, f"{name}.png"), side)
 
     n_eq = sum(1 for v in report.values() if v.get("equivalent"))
+    n_not_exercised = sum(1 for v in report.values()
+                          if v.get("not_exercised"))
     out = {
         "image_size": [W, H],
         "state": {k: (v.tolist() if isinstance(v, np.ndarray) else v)
@@ -278,6 +305,7 @@ def main(argv=None):
                      "'if True: return'; ours implements the marker)"],
         "symbols": report,
         "equivalent": n_eq,
+        "not_exercised": n_not_exercised,
         "total": len(report),
     }
     with open(args.out, "w") as f:
