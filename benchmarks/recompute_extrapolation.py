@@ -49,6 +49,21 @@ def main(argv):
         par_est[k] = round(min(t / 8.0 * f, t), 1)
     est8 = (sum(par_est.values()) + serial_s) * scale_f
     m["extrapolated_2812img_8chip_s"] = round(est8, 0)
+    # secondary figure: the host-measured BA factor is collective-latency
+    # dominated (BENCH_ba_scaling.json host_collective_decomposition);
+    # with the decomposition's ICI projection the BA stage DOES shard.
+    # The headline above keeps the conservative host-measured clamp.
+    try:
+        with open(os.path.join(REPO, "BENCH_ba_scaling.json")) as f:
+            dec = json.load(f)["host_collective_decomposition"]
+        f_ici = float(dec["projected_ici_overhead_factor_implied"])
+        par_ici = dict(par_est)
+        par_ici["ba"] = round(min(par_stage_s["ba"] / 8.0 * f_ici,
+                                  par_stage_s["ba"]), 1)
+        m["extrapolated_2812img_8chip_s_ici_projected_ba"] = round(
+            (sum(par_ici.values()) + serial_s) * scale_f, 0)
+    except (OSError, KeyError, ValueError):
+        pass
     m["extrapolation_8chip_model"] = {
         "parallel_s_1chip": round(sum(par_stage_s.values()), 1),
         "parallel_s_8chip_per_stage": par_est,

@@ -97,6 +97,20 @@ def _run(args) -> int:
     from ..io.project import ProjectMgr
 
     rank0 = not multi or multihost.is_rank0()
+
+    # per-stage wall clocks in the run log (the reference logs per-stage
+    # metrics too, SURVEY.md §5 metrics/logging); parseable as
+    # "stage wall: <name> <s>s" — scripts_dev/small_mission_decompose.py
+    # uses these to attribute small-mission latency
+    import time as _time
+    _t0 = _time.perf_counter()
+    _tprev = [_t0]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        log(f"stage wall: {name} {now - _tprev[0]:.2f}s")
+        _tprev[0] = now
+
     proj = ProjectMgr(args.project, create=True)
     if rank0:
         for step in args.refresh:
@@ -135,6 +149,8 @@ def _run(args) -> int:
         proj.set_camera_config(cfg)
         proj.save()
         proj.state.update("STEP1")
+
+    _mark("step1_setup")
 
     # ---- Step 2: poses (reference process.py:170-229) -------------------
     if not rank0:
@@ -182,6 +198,8 @@ def _run(args) -> int:
             proj = ProjectMgr(args.project, create=True)
             proj.load_images_info()
 
+    _mark("step2_poses")
+
     # ---- Step 3a: detection + matching (process.py:236-301) -------------
     from ..features.detect import DetectorConfig, detect_project_features
     from ..match import cleanup, groups as groups_mod
@@ -203,12 +221,14 @@ def _run(args) -> int:
             backend="tpu" if args.detector == "TPU" else "cv")
         proj.config.node("detector").update(det_cfg.to_dict())
         detect_project_features(proj, det_cfg)
+        _mark("step3a_detect")
         mcfg = MatchConfig(strategy=args.match_strategy, ratio=args.match_ratio,
                            transform=args.filter, batch_size=args.batch_size)
         proj.config.node("matcher").set("min_chain_len", args.min_chain_len)
         from ..match.smart import SmartState
         smart_state = SmartState(proj.analysis_dir)
         find_matches(proj, mcfg, smart_state=smart_state)
+        _mark("step3a_match")
         if rank0:
             if args.match_strategy == "smart":
                 # apply the accumulated yaw-error estimates to the poses
@@ -234,6 +254,8 @@ def _run(args) -> int:
             if not rank0:
                 proj.load_images_info()
 
+    _mark("step3a_finish")
+
     # ---- Step 3b: cleanup + linking (process.py:305-319) ----------------
     # host-side graph stages (3b/3c/3d) run on rank 0; other ranks wait at
     # the pre-BA barrier below and read the results from the shared FS.
@@ -254,6 +276,8 @@ def _run(args) -> int:
         matches = cleanup.link_matches(proj)
         proj.save_matches_grouped(matches)
         proj.state.update("STEP3b")
+
+    _mark("step3b_link")
 
     # ---- Step 3c: initial triangulation (process.py:321-333) ------------
     if not rank0:
@@ -281,6 +305,8 @@ def _run(args) -> int:
         proj.save_matches_grouped(matches)
         proj.state.update("STEP3c")
 
+    _mark("step3c_triangulate")
+
     # ---- Step 3d: grouping (process.py:335-363) -------------------------
     if not rank0:
         pass
@@ -297,6 +323,8 @@ def _run(args) -> int:
 
     if multi:
         multihost.barrier("steps3bcd")
+
+    _mark("step3d_groups")
 
     # ---- Step 4: bundle adjustment (process.py:366-407) -----------------
     if not gate("STEP4"):
@@ -356,6 +384,8 @@ def _run(args) -> int:
                 # pick up rank 0's optimized poses for the render stage
                 proj.load_images_info()
 
+    _mark("step4_ba")
+
     # ---- Step 5: render (process.py:411-420) ----------------------------
     step5_todo = not gate("STEP5")
     if step5_todo:
@@ -392,6 +422,8 @@ def _run(args) -> int:
         proj.state.update("STEP5")
     if multi:
         multihost.barrier("step5")
+    _mark("step5_render")
+    log(f"stage wall: TOTAL {_time.perf_counter() - _t0:.2f}s")
     log("Pipeline complete.")
     return 0
 

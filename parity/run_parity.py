@@ -267,6 +267,8 @@ def reprojection_rmse(analysis_dir, image_names):
         rvecs[i] = np.asarray(rvec, np.float64).reshape(3, 1)
         tvecs[i] = np.asarray(tvec, np.float64).reshape(3, 1)
     errs = []
+    obs_img = []
+    obs_uv = []
     for m in matches:
         ned = m[0]
         if ned is None:
@@ -278,9 +280,64 @@ def reprojection_rmse(analysis_dir, image_names):
                 continue
             proj, _ = cv2.projectPoints(pt, rvecs[i], tvecs[i], K, dist)
             errs.append(np.linalg.norm(proj.ravel() - np.asarray(uv)))
+            obs_img.append(i)
+            obs_uv.append(np.asarray(uv, np.float64))
     errs = np.asarray(errs)
+    per_obs = {"err": errs, "img": np.asarray(obs_img, np.int32),
+               "uv": (np.asarray(obs_uv)
+                      if obs_uv else np.zeros((0, 2)))}
     return (float(np.sqrt((errs ** 2).mean())), float(errs.mean()),
-            float(errs.max()), int(len(errs)))
+            float(errs.max()), int(len(errs)), per_obs)
+
+
+def rmse_at_coverage(errs, n):
+    """RMSE of the BEST n per-obs errors — 'what would this side's RMSE be
+    if it had kept only as many observations as the other side, choosing
+    optimally'. Controls the selection effect VERDICT r4 weak #4 flags:
+    ours keeps fewer observations, so a plain RMSE win could reflect
+    stricter filtering rather than better geometry. Comparing ours'
+    full-set RMSE against the reference's best-n_ours subset removes that
+    advantage entirely (maximally favorable to the reference)."""
+    if len(errs) == 0 or n <= 0:
+        return None
+    best = np.sort(errs)[: min(n, len(errs))]
+    return float(np.sqrt((best ** 2).mean()))
+
+
+def common_obs_rmse(per_ref, per_ours, tol_px=2.0):
+    """RMSE of both sides restricted to CORRESPONDING observations: same
+    image and raw-uv within tol_px (keypoints come from different
+    detectors, so correspondence is by proximity, not identity). Each
+    ours-obs greedily claims its nearest unclaimed ref-obs."""
+    from scipy.spatial import cKDTree
+
+    sel_ref, sel_ours = [], []
+    for img in np.unique(per_ours["img"]):
+        mo = per_ours["img"] == img
+        mr = per_ref["img"] == img
+        if not mr.any():
+            continue
+        idx_r = np.nonzero(mr)[0]
+        tree = cKDTree(per_ref["uv"][mr])
+        d, j = tree.query(per_ours["uv"][mo], k=1,
+                          distance_upper_bound=tol_px)
+        ok = np.isfinite(d)
+        # greedy de-dup: one ref obs matches at most one ours obs
+        seen = set()
+        for oi, (good, jj) in zip(np.nonzero(mo)[0], zip(ok, j)):
+            if not good or jj in seen:
+                continue
+            seen.add(jj)
+            sel_ours.append(oi)
+            sel_ref.append(idx_r[jj])
+    if not sel_ours:
+        return None
+    er = per_ref["err"][np.asarray(sel_ref)]
+    eo = per_ours["err"][np.asarray(sel_ours)]
+    return {"n_common": int(len(sel_ours)),
+            "rmse_ref_px": round(float(np.sqrt((er ** 2).mean())), 4),
+            "rmse_ours_px": round(float(np.sqrt((eo ** 2).mean())), 4),
+            "tol_px": tol_px}
 
 
 def chain_stats(analysis_dir):
@@ -299,8 +356,8 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--rows", type=int, default=1)
-    ap.add_argument("--work", default="/tmp/parity_r4")
-    ap.add_argument("--out", default="PARITY_r4.json")
+    ap.add_argument("--work", default="/tmp/parity_r5")
+    ap.add_argument("--out", default="PARITY_r5.json")
     ap.add_argument("--strategy", default="traditional")
     ap.add_argument("--filter", default="homography")
     ap.add_argument("--scale", type=float, default=1.0)
@@ -401,6 +458,13 @@ def main(argv=None):
         result[f"maxerr_{tag}_px"] = round(r[2], 3)
         result[f"n_obs_{tag}"] = r[3]
 
+    # observation-controlled comparisons (VERDICT r4 weak #4): the plain
+    # RMSE gate is exposed to selection — ours keeps fewer observations
+    v = rmse_at_coverage(rmse_ref[4]["err"], rmse_ours[3])
+    result["rmse_ref_at_ours_coverage_px"] = (round(v, 4)
+                                              if v is not None else None)
+    result["rmse_common_obs"] = common_obs_rmse(rmse_ref[4], rmse_ours[4])
+
     # --- camera position error vs synthetic truth ---------------------------
     for tag, ia in (("ref", ref_ia), ("ours", ours_ia)):
         poses = load_opt_poses(ia)
@@ -421,6 +485,12 @@ def main(argv=None):
     # --- the BASELINE.md gate ------------------------------------------------
     result["gate_rmse_ours_le_ref"] = bool(
         result["rmse_ours_px"] <= result["rmse_ref_px"] + 1e-6)
+    # selection-controlled variant: ours' full-set RMSE must also beat the
+    # reference's best-n_ours subset (maximally favorable to the reference)
+    result["gate_rmse_obs_controlled"] = bool(
+        result["rmse_ref_at_ours_coverage_px"] is not None
+        and result["rmse_ours_px"]
+        <= result["rmse_ref_at_ours_coverage_px"] + 1e-6)
     result["gate_pair_graph"] = bool(result["pair_jaccard"] >= 0.75)
     both = [result["gt_inlier_frac_ours_median"],
             result["gt_inlier_frac_ref_median"]]
