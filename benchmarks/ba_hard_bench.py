@@ -81,6 +81,19 @@ def make_hard_problem(rng, n_cam, n_pt, obs_per_pt=4, px_noise=0.4,
     keep = ((z > 0) & (uv[:, 0] >= 0) & (uv[:, 0] < width)
             & (uv[:, 1] >= 0) & (uv[:, 1] < height))
     ci, pi, uv = ci[keep], pi[keep], uv[keep]
+    # drop chains with < 3 surviving observations, like the pipeline's
+    # min_chain_len=3 BA setup (reference optimizer.py:340): a 1-2 obs
+    # point is (nearly) unconstrained and absorbs its own outliers, which
+    # would make the cull-recall metric meaningless
+    counts = np.bincount(pi, minlength=n_pt)
+    chain_ok = counts[pi] >= 3
+    ci, pi, uv = ci[chain_ok], pi[chain_ok], uv[chain_ok]
+    used = np.unique(pi)
+    remap = np.zeros(n_pt, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    pi = remap[pi]
+    pts_true = pts_true[used]
+    n_pt = len(used)
     uv = uv + rng.normal(0, px_noise, uv.shape)
 
     # planted outliers: gross uv corruption
@@ -148,46 +161,62 @@ def main(argv=None):
 
     cfg = bundle.BAConfig(max_iters=args.max_iters, bound_vert=9.0)
     traj = {}
+    Kj, Dj = jnp.asarray(K), jnp.asarray(DIST)
 
-    # --- phase 1: Huber LM on the contaminated problem -------------------
+    # --- phase 1: graduated-IRLS Huber LM on the contaminated problem ----
     t0 = time.perf_counter()
-    obs_h = bundle.reweight_huber(cams0, pts0, obs, jnp.asarray(K),
-                                  jnp.asarray(DIST), delta_px=4.0)
-    r1 = bundle.solve(cams0, pts0, obs_h, jnp.asarray(K), jnp.asarray(DIST),
-                      cfg, verbose=True)
+    r1 = bundle.solve(cams0, pts0, obs, Kj, Dj, cfg, verbose=True,
+                      huber_px=4.0, irls_rounds=2)
     p1_s = time.perf_counter() - t0
     traj["phase1_cost"] = [round(float(c), 1) for c in r1.cost_history]
 
-    # --- cull: mre + 5σ on unweighted residuals (reference 4b default) ---
+    # diagnostic: the reference 4b formula (mean + 5σ) at this
+    # contamination level — the outliers inflate σ so its threshold
+    # floats above them; recorded to document why the robust cull exists
     r = np.asarray(bundle._residuals(jnp.asarray(r1.cams),
-                                     jnp.asarray(r1.pts), obs,
-                                     jnp.asarray(K), jnp.asarray(DIST)))
+                                     jnp.asarray(r1.pts), obs, Kj, Dj))
     mag = np.linalg.norm(r, axis=1)
-    thresh = mag.mean() + 5.0 * mag.std()
-    drop = mag > thresh
+    ref_thresh = mag.mean() + 5.0 * mag.std()
+    ref_drop = mag > ref_thresh
+    ref_cull = {
+        "threshold_px": round(float(ref_thresh), 2),
+        "dropped": int(ref_drop.sum()),
+        "outlier_recall": round(
+            int((ref_drop & is_out).sum()) / max(int(is_out.sum()), 1), 4),
+        "note": "reference 4b mean+5s formula, single pass — its "
+                "threshold is inflated by the contamination it is "
+                "supposed to remove",
+    }
+
+    # --- phase 2: iterated robust cull -> refine (4b -> 4a loop) ---------
+    t0 = time.perf_counter()
+    r2, active = bundle.solve_culled(
+        r1.cams, r1.pts, obs, Kj, Dj, cfg, huber_px=4.0, cull_sigma=5.0,
+        cull_rounds=3, verbose=True, bound_anchor=cams0[:, :3])
+    p2_s = time.perf_counter() - t0
+    traj["phase2_cost"] = [round(float(c), 1) for c in r2.cost_history]
+    drop = ~active
     tp = int((drop & is_out).sum())
     fp = int((drop & ~is_out).sum())
     fn = int((~drop & is_out).sum())
-    keep = ~drop
-    obs2 = bundle.BAObservations(
-        cam_idx=obs.cam_idx[keep], pt_idx=obs.pt_idx[keep],
-        uv=obs.uv[keep], weight=obs.weight[keep])
-
-    # --- phase 2: refine on the culled problem ---------------------------
-    t0 = time.perf_counter()
-    obs2_h = bundle.reweight_huber(r1.cams, r1.pts, obs2, jnp.asarray(K),
-                                   jnp.asarray(DIST), delta_px=4.0)
-    r2 = bundle.solve(r1.cams, r1.pts, obs2_h, jnp.asarray(K),
-                      jnp.asarray(DIST), cfg, verbose=True)
-    p2_s = time.perf_counter() - t0
-    traj["phase2_cost"] = [round(float(c), 1) for c in r2.cost_history]
+    # an observation of a point whose other observations are majority
+    # garbage is unrecoverable even though it was not itself corrupted:
+    # count those separately so cull precision reads fairly
+    n_obs_per_pt = np.bincount(np.asarray(obs.pt_idx))
+    n_out_per_pt = np.bincount(np.asarray(obs.pt_idx), weights=is_out)
+    poisoned_pt = n_out_per_pt * 2 >= n_obs_per_pt
+    fp_poisoned = int((drop & ~is_out
+                       & poisoned_pt[np.asarray(obs.pt_idx)]).sum())
 
     # final fidelity: mre on CLEAN observations only + camera error after
     # similarity refit (yaw bias leaves a gauge rotation the reference also
     # removes via refit, optimizer.py:583-683)
+    # clean AND surviving: clean obs of culled (abandoned) points keep
+    # stale point parameters, so they don't measure solver quality
+    ca = ~is_out & active
     clean = bundle.BAObservations(
-        cam_idx=obs.cam_idx[~is_out], pt_idx=obs.pt_idx[~is_out],
-        uv=obs.uv[~is_out], weight=obs.weight[~is_out])
+        cam_idx=obs.cam_idx[ca], pt_idx=obs.pt_idx[ca],
+        uv=obs.uv[ca], weight=obs.weight[ca])
     _, mre_clean, mx_clean = bundle.ba_cost(
         jnp.asarray(r2.cams), jnp.asarray(r2.pts), clean, jnp.asarray(K),
         jnp.asarray(DIST))
@@ -204,9 +233,13 @@ def main(argv=None):
         "phase1": {"iters": r1.iters, "wall_s": round(p1_s, 1),
                    "mre_px": round(r1.mre, 4),
                    "iters_per_s": round(r1.iters / p1_s, 2)},
-        "cull": {"threshold_px": round(float(thresh), 2),
+        "cull_reference_formula": ref_cull,
+        "cull": {"method": "iterated robust (median + 5*1.4826*MAD), "
+                           "refine between rounds",
                  "dropped": int(drop.sum()),
                  "outlier_precision": round(tp / max(tp + fp, 1), 4),
+                 "outlier_precision_excl_poisoned_pts": round(
+                     tp / max(tp + fp - fp_poisoned, 1), 4),
                  "outlier_recall": round(tp / max(tp + fn, 1), 4)},
         "phase2": {"iters": r2.iters, "wall_s": round(p2_s, 1),
                    "mre_px": round(r2.mre, 4),

@@ -94,13 +94,26 @@ def report_by_image(proj, errors, index, matches):
     return rows
 
 
-def mark_outliers(errors, index, stddev=5.0, max_error=None):
-    """Observations with error > mre + n·σ (reference 4b:117-150)."""
+def mark_outliers(errors, index, stddev=5.0, max_error=None, robust=False):
+    """Observations with error > mre + n·σ (reference 4b:117-150).
+
+    robust=True thresholds at median + n·1.4826·MAD instead: on heavily
+    contaminated data the outliers inflate mean and σ above themselves,
+    so the reference formula marks almost nothing in one pass (it relies
+    on interactive review + repeated runs); the robust threshold gets
+    there unattended (measured on benchmarks/ba_hard_bench.py)."""
     if len(errors) == 0:
         return []
     mre = float(np.mean(errors))
     std = float(np.std(errors))
-    thresh = max_error if max_error is not None else mre + stddev * std
+    if max_error is not None:
+        thresh = max_error
+    elif robust:
+        med = float(np.median(errors))
+        mad = float(np.median(np.abs(errors - med)))
+        thresh = med + stddev * 1.4826 * mad
+    else:
+        thresh = mre + stddev * std
     marked = [index[i] for i in np.nonzero(errors > thresh)[0]]
     log(f"mre={mre:.3f}px std={std:.3f} threshold={thresh:.2f}px "
         f"→ {len(marked)} observations marked")
@@ -384,6 +397,9 @@ def main(argv=None):
     p_mre = sub.add_parser("mre", help="cull by reprojection error")
     p_mre.add_argument("--stddev", type=float, default=5.0)
     p_mre.add_argument("--max", type=float, help="absolute error cap (px)")
+    p_mre.add_argument("--robust", action="store_true",
+                       help="median + n*1.4826*MAD threshold instead of "
+                            "mean + n*std (contamination-proof)")
     p_mre.add_argument("--strong", action="store_true",
                        help="drop whole chains, not just observations")
     p_mre.add_argument("--dry-run", action="store_true")
@@ -421,7 +437,7 @@ def main(argv=None):
         errors, index = compute_errors(proj, matches)
         report_by_image(proj, errors, index, matches)
         marked = mark_outliers(errors, index, stddev=args.stddev,
-                               max_error=args.max)
+                               max_error=args.max, robust=args.robust)
         if not args.dry_run and marked:
             matches = delete_marked(matches, marked, strong=args.strong)
             proj.save_matches_grouped(matches)

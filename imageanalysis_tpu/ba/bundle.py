@@ -670,8 +670,82 @@ def reweight_huber(cams, pts, obs, K, dist, delta_px=4.0):
     return obs._replace(weight=jnp.sqrt(w))
 
 
+def cull_outliers(cams, pts, obs, K, dist, sigma=5.0, robust=True,
+                  active=None):
+    """Observation outlier mask at the current solution (the reference's
+    4b-mre-by-image policy, 4b:117-150: drop |r| > mre + sigma*std).
+
+    robust=True thresholds at median + sigma*1.4826*MAD instead: on a
+    contaminated problem the outliers inflate mean and std so the
+    reference formula's threshold floats above them (measured on the
+    hard-regime bench: mean+5s recall 0.004 vs 0.99 robust). The
+    reference achieves the same end by interactive review + repeated 4b
+    passes; MAD gets there unattended.
+
+    active: optional bool mask — statistics (and the returned mask) are
+    computed over these rows only; inactive rows return True (untouched).
+    Residuals are evaluated UNWEIGHTED so already-down-weighted rows
+    still measure their true error. Returns (keep_mask, threshold)."""
+    obs_unw = obs._replace(weight=jnp.ones_like(obs.weight))
+    r = _residuals(jnp.asarray(cams, jnp.float32),
+                   jnp.asarray(pts, jnp.float32), obs_unw, K, dist)
+    mag = np.asarray(jnp.linalg.norm(r, axis=-1))
+    sel = mag if active is None else mag[np.asarray(active)]
+    if len(sel) == 0:
+        return np.ones(len(mag), bool), float("inf")
+    if robust:
+        med = float(np.median(sel))
+        mad = float(np.median(np.abs(sel - med)))
+        thresh = med + sigma * 1.4826 * mad
+    else:
+        thresh = float(sel.mean() + sigma * sel.std())
+    keep = mag <= thresh
+    if active is not None:
+        keep |= ~np.asarray(active)
+    return keep, thresh
+
+
+def solve_culled(cams0, pts0, obs, K, dist, config=None, huber_px=4.0,
+                 cull_sigma=5.0, cull_rounds=3, verbose=True, log_fn=print,
+                 bound_anchor=None):
+    """The full 4a -> 4b -> 4a cadence unattended: graduated-IRLS solve,
+    then up to cull_rounds of (robust cull -> refine). Returns
+    (BAResult, keep_mask) — keep_mask marks the surviving observations.
+    This is what the reference's manual process.py + 4b loop converges to
+    on outlier-contaminated missions (scripts/README.md:197-217)."""
+    config = config or BAConfig()
+    anchor = (np.asarray(bound_anchor) if bound_anchor is not None
+              else np.asarray(cams0)[:, :3])
+    result = solve(cams0, pts0, obs, K, dist, config, verbose=verbose,
+                   log_fn=log_fn, huber_px=huber_px, bound_anchor=anchor)
+    active = np.ones(np.asarray(obs.uv).shape[0], bool)
+    base_w = np.asarray(obs.weight)
+    for rnd in range(cull_rounds):
+        keep, thresh = cull_outliers(result.cams, result.pts, obs, K, dist,
+                                     sigma=cull_sigma, active=active)
+        drop = active & ~keep
+        if not drop.any():
+            break
+        active &= keep
+        if verbose:
+            log_fn(f"cull round {rnd}: threshold {thresh:.2f}px, dropped "
+                   f"{int(drop.sum())} obs ({int(active.sum())} remain)")
+        # cull by ZEROING weights, not slicing: weight-0 rows are inert
+        # (the padding convention), and keeping the observation arrays
+        # shape-static means every refine reuses the compiled solver —
+        # slicing re-specializes the jits per round (multi-minute remote
+        # compiles on tunneled TPU runtimes)
+        obs2 = obs._replace(weight=jnp.asarray(
+            np.where(active, base_w, 0.0).astype(np.float32)))
+        result = solve(result.cams, result.pts, obs2, K, dist, config,
+                       verbose=verbose, log_fn=log_fn, huber_px=huber_px,
+                       irls_rounds=1, bound_anchor=anchor)
+    return result, active
+
+
 def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True,
-          log_fn=print, huber_px=None, irls_rounds=2, dtype=None):
+          log_fn=print, huber_px=None, irls_rounds=2, dtype=None,
+          bound_anchor=None):
     """LM outer loop (host-driven; every inner computation is one jitted call).
 
     cams0: (n_cam, 7) [ned(3), quat(4)]; pts0: (n_pt, 3); obs: BAObservations.
@@ -685,21 +759,41 @@ def solve(cams0, pts0, obs, K, dist, config: BAConfig = BAConfig(), verbose=True
     scripts_dev/ba_f64_oracle.py.
     """
     if huber_px is not None:
+        # graduated IRLS: the first round's Huber scale comes from the
+        # CURRENT residual distribution (median), annealing down to
+        # huber_px. Starting at the target scale fails on contaminated
+        # problems from a degraded initialization — the first solve is
+        # then effectively unweighted L2 (all residuals huge, weights
+        # uniform) and 15-20% gross outliers drag it into a basin the
+        # later reweightings cannot escape (measured on the hard-regime
+        # bench: inlier p50 stuck at ~5-7 px vs 0.3 px with annealing).
         cams, pts = cams0, pts0
-        obs_w = obs
+        r0 = _residuals(jnp.asarray(cams, jnp.float32),
+                        jnp.asarray(pts, jnp.float32), obs, K, dist)
+        delta = max(float(jnp.median(jnp.linalg.norm(r0, axis=-1))),
+                    float(huber_px))
         result = None
+        # bounds stay anchored at the ORIGINAL GPS positions across IRLS
+        # rounds (reference optimizer.py:434-442 anchors at GPS): re-
+        # anchoring at each round's estimate lets near-planar scenes
+        # drift meters through the height/scale ambiguity the GPS box
+        # exists to pin
+        anchor = (np.asarray(bound_anchor) if bound_anchor is not None
+                  else np.asarray(cams0)[:, :3])
         for _ in range(irls_rounds + 1):
-            result = solve(cams, pts, obs_w, K, dist, config, verbose=verbose,
-                           log_fn=log_fn, dtype=dtype)
-            cams, pts = result.cams, result.pts
             obs_w = reweight_huber(jnp.asarray(cams), jnp.asarray(pts), obs,
-                                   K, dist, delta_px=huber_px)
+                                   K, dist, delta_px=delta)
+            result = solve(cams, pts, obs_w, K, dist, config, verbose=verbose,
+                           log_fn=log_fn, dtype=dtype, bound_anchor=anchor)
+            cams, pts = result.cams, result.pts
+            delta = max(delta / 6.0, float(huber_px))
         return result
     dtype = dtype or jnp.float32
     cams = jnp.asarray(cams0, dtype=dtype)
     pts = jnp.asarray(pts0, dtype=dtype)
     n_cam, n_pt = cams.shape[0], pts.shape[0]
-    ned0 = cams[:, :3]
+    ned0 = (jnp.asarray(bound_anchor, dtype=dtype)
+            if bound_anchor is not None else cams[:, :3])
     lo = ned0 - jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
     hi = ned0 + jnp.array([config.bound_horiz, config.bound_horiz, config.bound_vert])
 
