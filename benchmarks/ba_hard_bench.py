@@ -42,6 +42,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def make_hard_problem(rng, n_cam, n_pt, obs_per_pt=4, px_noise=0.4,
                       outlier_frac=0.20, yaw_bias_deg=3.0, alt_bias_m=6.0,
                       pos_noise_m=2.0, width=1920, height=1440):
+    """Synthetic contaminated mission. Problem GENERATION pins to the CPU
+    backend: the per-camera quaternion loops are hundreds of tiny jnp
+    dispatches, and on a tunneled TPU runtime each pays a ~30 ms RTT plus
+    slow remote compiles (a generation that is instant on CPU took >10
+    min against the tunnel). Only the solves belong on the TPU."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _make_hard_problem_impl(
+                rng, n_cam, n_pt, obs_per_pt, px_noise, outlier_frac,
+                yaw_bias_deg, alt_bias_m, pos_noise_m, width, height)
+    return _make_hard_problem_impl(
+        rng, n_cam, n_pt, obs_per_pt, px_noise, outlier_frac,
+        yaw_bias_deg, alt_bias_m, pos_noise_m, width, height)
+
+
+def _make_hard_problem_impl(rng, n_cam, n_pt, obs_per_pt, px_noise,
+                            outlier_frac, yaw_bias_deg, alt_bias_m,
+                            pos_noise_m, width, height):
     import jax.numpy as jnp
     from imageanalysis_tpu.ba import bundle
     from imageanalysis_tpu.core import camera as cam
@@ -106,10 +130,12 @@ def make_hard_problem(rng, n_cam, n_pt, obs_per_pt=4, px_noise=0.4,
     # the point-local sharding both apply
     order = np.argsort(pi, kind="stable")
     ci, pi, uv, is_out = ci[order], pi[order], uv[order], is_out[order]
+    # plain numpy (uncommitted): callers' jits place these on their own
+    # backend — a cpu-committed jnp array would fight a TPU solve
     obs = bundle.BAObservations(
-        cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
-        uv=jnp.asarray(uv.astype(np.float32)),
-        weight=jnp.ones(n_obs, jnp.float32))
+        cam_idx=np.asarray(ci, np.int32), pt_idx=np.asarray(pi, np.int32),
+        uv=uv.astype(np.float32),
+        weight=np.ones(n_obs, np.float32))
 
     # degraded initialization
     cams0 = cams_true.copy()
@@ -138,10 +164,18 @@ def main(argv=None):
     ap.add_argument("--yaw-bias-deg", type=float, default=3.0)
     ap.add_argument("--alt-bias-m", type=float, default=6.0)
     ap.add_argument("--max-iters", type=int, default=25)
+    ap.add_argument("--platform", default="",
+                    help="pin the jax backend (e.g. cpu). Convergence "
+                         "behavior is backend-independent; cpu avoids "
+                         "tying up the tunneled TPU worker for what is "
+                         "a correctness artifact.")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_ba_hard.json"))
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import imageanalysis_tpu  # noqa: F401  (matmul precision pin)
     from imageanalysis_tpu.ba import bundle

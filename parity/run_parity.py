@@ -66,11 +66,21 @@ def make_mission(work, n_images, width, height, rows):
     fx = 1400.0 * width / 2176.0
     ground_w = width / fx * 100.0
     spacing = 0.25 * ground_w            # ~75% along-track overlap
+    # rows=0: auto grid ~25 images/row (mission_bench policy). A single
+    # 300-image row spans ~11 km — far off any fixed texture, so every
+    # frame renders black and the reference's matcher divides by zero on
+    # the first empty pair (matcher.py:232). Beyond the fixed texture's
+    # coverage, switch to the procedural WorldTexture.
+    rows = rows or max(n_images // 25, 1)
+    per_row = max(n_images // rows, 1)
+    tex_res = max(2.0 * 100.0 / fx, 0.05)
+    tex_px = 4096
+    span = max(per_row, rows * 2.5) * spacing + 2.5 * ground_w
     m = SyntheticMission(ref_dir, n_images=n_images,
                          img_size=(width, height), altitude=100.0,
                          spacing=spacing, fx=fx, rows=rows, seed=42,
-                         texture_res=max(2.0 * 100.0 / fx, 0.05),
-                         texture_px=4096)
+                         texture_res=tex_res, texture_px=tex_px,
+                         world_tiles=span > tex_px * tex_res * 0.9)
     regen = not os.path.isfile(os.path.join(ref_dir, "pix4d.csv"))
     m.generate(skip_existing=not regen)
     os.makedirs(ours_dir, exist_ok=True)
@@ -355,7 +365,8 @@ def main(argv=None):
     ap.add_argument("--n-images", type=int, default=20)
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=768)
-    ap.add_argument("--rows", type=int, default=1)
+    ap.add_argument("--rows", type=int, default=0,
+                    help="grid rows (0 = auto, ~25 images/row)")
     ap.add_argument("--work", default="/tmp/parity_r5")
     ap.add_argument("--out", default="PARITY_r5.json")
     ap.add_argument("--strategy", default="traditional")
