@@ -48,6 +48,14 @@ def build_parser():
                    choices=["homography", "fundamental", "essential",
                             "essential5", "none"])
     p.add_argument("--min-chain-len", type=int, default=3)
+    p.add_argument("--worklist", default="full",
+                   choices=["full", "sequential"],
+                   help="pair work-list policy: 'full' = distance window + "
+                        "sequential neighbors (the reference's documented "
+                        "policy, matcher.py:858-916); 'sequential' = "
+                        "neighbors |i-j|<=4 only (the reference's SHIPPED "
+                        "behavior — its distance branch is disabled by an "
+                        "'if False', matcher.py:896)")
     p.add_argument("--ground", type=float,
                    help="flat ground elevation (m MSL) instead of SRTM")
     p.add_argument("--group", type=int, default=0, help="group index to optimize")
@@ -227,7 +235,8 @@ def _run(args) -> int:
         proj.config.node("matcher").set("min_chain_len", args.min_chain_len)
         from ..match.smart import SmartState
         smart_state = SmartState(proj.analysis_dir)
-        find_matches(proj, mcfg, smart_state=smart_state)
+        find_matches(proj, mcfg, smart_state=smart_state,
+                     use_distance=args.worklist == "full")
         _mark("step3a_match")
         if rank0:
             if args.match_strategy == "smart":

@@ -205,11 +205,12 @@ def _extrema_mask_level(dogs, lvl, thresh):
     return mask  # (B, H, W)
 
 
-def _refine(dog3, y, x):
-    """Quadratic subpixel fit at integer (y, x).
+REFINE_STEPS = 3
 
-    Returns (ds, dy, dx, contrast, edge_ok). dog3: tuple of the
-    (below, center, above) DoG images, each (H, W)."""
+
+def _fit3(dog3, y, x):
+    """One quadratic fit of the 3×3×3 DoG neighborhood at integer (y, x):
+    returns (off (3,) [s, y, x], contrast, edge_ok)."""
     def g(ds_, dy_, dx_):
         return dog3[ds_ + 1][y + dy_, x + dx_]
 
@@ -226,13 +227,41 @@ def _refine(dog3, y, x):
     Hm = jnp.array([[h_ss, h_sy, h_sx], [h_sy, h_yy, h_yx], [h_sx, h_yx, h_xx]])
     grad = jnp.array([d_s, d_y, d_x])
     off = -jnp.linalg.solve(Hm + 1e-8 * jnp.eye(3), grad)
-    off = jnp.clip(off, -0.5, 0.5)
     contrast = c + 0.5 * jnp.dot(grad, off)
     tr = h_yy + h_xx
     det = h_yy * h_xx - h_yx * h_yx
     r = EDGE_THRESH
     edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
-    return off[0], off[1], off[2], contrast, edge_ok
+    return off, contrast, edge_ok
+
+
+def _refine(dog3, y, x):
+    """Iterative quadratic subpixel fit at integer (y, x), cv2 semantics
+    (SIFT adjustLocalExtrema): when a fit's spatial offset exceeds 0.5 px
+    the true extremum lies nearer an adjacent pixel — move the integer
+    center by the rounded offset and re-fit (REFINE_STEPS unrolled steps;
+    cv2 iterates to 5 but ≥97% of candidates settle by 3). The single
+    clipped-step version cost ~4% localization noise vs cv2 on GT
+    homography residuals (PARITY_r5 detector-noise analysis). Scale moves
+    are clipped to ±0.5 (only the adjacent DoG levels are in view).
+
+    Returns (ds, dy, dx, contrast, edge_ok, yc, xc) with dy/dx relative
+    to the ORIGINAL (y, x) and (yc, xc) the final integer center (for
+    descriptor-patch centering, cv2's cvRound'ed pt)."""
+    H, W = dog3[1].shape
+    border = 5
+    yc, xc = y, x
+    for it in range(REFINE_STEPS):
+        off, contrast, edge_ok = _fit3(dog3, yc, xc)
+        if it < REFINE_STEPS - 1:
+            my = jnp.round(off[1]).astype(jnp.int32)
+            mx = jnp.round(off[2]).astype(jnp.int32)
+            yc = jnp.clip(yc + my, border, H - 1 - border)
+            xc = jnp.clip(xc + mx, border, W - 1 - border)
+    off = jnp.clip(off, -0.5, 0.5)
+    dy = (yc - y).astype(jnp.float32) + off[1]
+    dx = (xc - x).astype(jnp.float32) + off[2]
+    return off[0], dy, dx, contrast, edge_ok, yc, xc
 
 
 # ---------------------------------------------------------------------------
@@ -417,7 +446,17 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
         imgs = imgs.astype(jnp.float32) / 255.0
     B = imgs.shape[0]
     thresh = 0.5 * CONTRAST_THRESH / N_SCALES
-    per_level = max(per_octave // N_SCALES, 32)
+    # area-weighted candidate budgets: octave o holds ~4^-o of the pixels,
+    # hence of the DoG extrema. A uniform per-octave budget starves the
+    # first octave — on real texture (bates.jpg @0.4) it truncated ~60% of
+    # the extrema cv2 keeps while later octaves wasted their slots (the
+    # r5 real-pair recall analysis); total candidate count (and so patch/
+    # descriptor work) is unchanged, only its distribution.
+    total = per_octave * n_octaves
+    w = [4.0 ** -o for o in range(n_octaves)]
+    sw = sum(w)
+    per_level_oct = [max(int(round(total * wi / (sw * N_SCALES))), 32)
+                     for wi in w]
 
     if upsample:
         # cv2 firstOctave=-1: 2× linear upsample; the input is assumed to
@@ -436,6 +475,7 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
         gs, dogs = _octave_stack(octave_img, SIGMA0)
         B_, H, W = gs[0].shape
         scale_factor = float(2 ** o) * (0.5 if upsample else 1.0)
+        per_level = per_level_oct[o]
 
         for lvl in range(1, N_SCALES + 1):
             mask = _extrema_mask_level(dogs, lvl, thresh)   # (B, H, W)
@@ -453,24 +493,44 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
 
             def per_image(dm, dc, dp, y_i, x_i, v_i, lvl=lvl):
                 def one(y, x, v):
-                    ds, dy, dx, contrast, edge_ok = _refine((dm, dc, dp), y, x)
+                    (ds, dy, dx, contrast, edge_ok, yc,
+                     xc) = _refine((dm, dc, dp), y, x)
                     ok = v & edge_ok & (jnp.abs(contrast)
                                         > CONTRAST_THRESH / N_SCALES)
                     sigma = SIGMA0 * (2.0 ** ((lvl - 1 + ds) / N_SCALES))
-                    return dy, dx, sigma, contrast, ok
+                    return dy, dx, sigma, contrast, ok, yc, xc
                 return jax.vmap(one)(y_i, x_i, v_i)
 
-            dy, dx, sigma, contrast, ok = jax.vmap(per_image)(
+            dy, dx, sigma, contrast, ok, yc, xc = jax.vmap(per_image)(
                 dog3[0], dog3[1], dog3[2], y_idx, x_idx, cand_valid)
 
+            # drop candidates that re-centered onto the same pixel (cv2
+            # removeDuplicatedSorted): converged twins carry identical
+            # descriptors, and identical twins make the ratio test see
+            # d1≈d2 and kill BOTH matches downstream. Invalid slots get
+            # unique negative keys so they can't collide a valid one away.
+            P_lvl = y_idx.shape[1]
+            key = jnp.where(ok, yc * W + xc,
+                            -1 - jax.lax.broadcasted_iota(
+                                jnp.int32, (B_, P_lvl), 1))
+            order = jnp.argsort(key, axis=1)
+            sk = jnp.take_along_axis(key, order, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((B_, 1), bool), sk[:, 1:] == sk[:, :-1]], axis=1)
+            dup = jnp.zeros_like(dup_sorted).at[
+                jnp.arange(B_)[:, None], order].set(dup_sorted)
+            ok &= ~dup
+
             # --- dense patch stage: flatten (B, P) → N ------------------
+            # patches center on the REFINED integer location (cv2 uses the
+            # cvRound'ed final pt for calcSIFTDescriptor)
             patches, y0, x0 = jax.vmap(
                 lambda g, y, x: _extract_patches(g, y, x))(
-                gs[lvl], y_idx, x_idx)
+                gs[lvl], yc, xc)
             N = B_ * y_idx.shape[1]
             mag, ang, di, dj = _patch_grads(
                 patches.reshape(N, PATCH, PATCH), y0.reshape(N),
-                x0.reshape(N), y_idx.reshape(N), x_idx.reshape(N), H, W)
+                x0.reshape(N), yc.reshape(N), xc.reshape(N), H, W)
             # offsets are relative to the rounded center, as in cv2
             # (calcSIFTDescriptor uses cvRound'ed pt); the subpixel
             # offset only moves the reported uv

@@ -38,7 +38,7 @@ class MatchConfig:
                  match_ratio=None, min_pairs=25, filter_thresh=None,
                  batch_size=16, n_hyp=512, detector_width=None, bf16=True,
                  use_pallas=None, seed=42, gate_radius_frac=0.2,
-                 compact_downloads=False):
+                 compact_downloads=False, store_scan=1):
         self.strategy = strategy
         self.ratio = match_ratio if match_ratio is not None else ratio
         # homography|fundamental|essential|essential5|none — essential5 is
@@ -64,6 +64,9 @@ class MatchConfig:
         # scatter costs ~55 ms of device time — compaction only wins on
         # links well under ~25 MB/s (e.g. DCN-attached storage hosts).
         self.compact_downloads = compact_downloads
+        # store path: sub-batches fused per dispatch via lax.scan
+        # (IMGTPU_MATCH_SCAN env overrides)
+        self.store_scan = store_scan
 
 
 def _round_up(x, m):
@@ -125,6 +128,59 @@ def match_pair_batch_packed(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys, K,
         thresh=thresh, transform=transform, n_hyp=n_hyp,
         use_pallas=use_pallas, bf16=bf16)
     return jnp.where(ok, best_j, -1).astype(jnp.int16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ratio", "transform", "n_hyp",
+                                    "use_pallas", "bf16", "uint8_cast",
+                                    "gate_radius", "gated"))
+def match_pair_batch_store_scan(store_desc, store_uv, store_counts, idx_a,
+                                idx_b, keys, K, cam_a=None, cam_b=None,
+                                ground_z=None, ratio=0.75, thresh=3.0,
+                                transform="homography", n_hyp=512,
+                                use_pallas=False, bf16=True,
+                                uint8_cast=False, gate_radius=0.0,
+                                gated=False):
+    """The whole store match step — gathers INCLUDED — as one dispatch.
+
+    idx_a/idx_b: (S, B) image indices into the resident store; keys
+    (S, B, 2); returns (S, B, npad) packed int16. The eager path paid ~7
+    dispatches per batch (3 jnp.take per side + the match call), each a
+    tunnel round trip on remote runtimes; fusing them into a single jit
+    makes the per-batch host cost one enqueue + one download, and
+    lax.scan over S sub-batches amortizes even that. Pair padding slots
+    (idx 0, 0) match an image against itself and are dropped by the
+    host-side unpack, exactly like the eager path."""
+    def gather(idx):
+        d = jnp.take(store_desc, idx, axis=0)
+        if uint8_cast:
+            d = d.astype(jnp.bfloat16)
+        return d, jnp.take(store_uv, idx, axis=0), \
+            jnp.take(store_counts, idx)
+
+    def step(_, xs):
+        if gated:
+            ia, ib, ks, ca, cb, gz = xs
+        else:
+            ia, ib, ks = xs
+        da, ua, na = gather(ia)
+        db, ub, nb = gather(ib)
+        if gated:
+            packed = match_pair_batch_gated.__wrapped__(
+                da, db, ua, ub, na, nb, ks, K, ca, cb, gz, ratio=ratio,
+                thresh=thresh, transform=transform, n_hyp=n_hyp,
+                use_pallas=use_pallas, bf16=bf16, gate_radius=gate_radius)
+        else:
+            packed = match_pair_batch_packed.__wrapped__(
+                da, db, ua, ub, na, nb, ks, K, ratio=ratio, thresh=thresh,
+                transform=transform, n_hyp=n_hyp, use_pallas=use_pallas,
+                bf16=bf16)
+        return None, packed
+
+    xs = (idx_a, idx_b, keys, cam_a, cam_b, ground_z) if gated \
+        else (idx_a, idx_b, keys)
+    _, out = jax.lax.scan(step, None, xs)
+    return out
 
 
 _COMPACT_BITS = 13              # row/col each < 8192 in a compact entry
@@ -284,13 +340,13 @@ class BatchMatcher:
             if DescriptorStore.fits(len(proj.image_list), npad):
                 self.store = DescriptorStore(proj)
 
-    def _pair_gate_arrays(self, chunk, B):
-        """(cam_a (B,7), cam_b (B,7), ground_z (B,)) for a pair chunk: poses
+    def _pair_gate_arrays(self, chunk, n):
+        """(cam_a (n,7), cam_b (n,7), ground_z (n,)) for a pair chunk: poses
         from the table, surface prior per pair from the smart state (SRTM
         fallback inside get_surface), as NED z = −elevation."""
-        idx = np.zeros((B, 2), np.int64)
+        idx = np.zeros((n, 2), np.int64)
         idx[: len(chunk)] = chunk
-        gz = np.zeros(B, np.float32)
+        gz = np.zeros(n, np.float32)
         for bi, (i, j) in enumerate(chunk):
             i1, i2 = self.proj.image_list[i], self.proj.image_list[j]
             gz[bi] = -float(self.smart.get_surface(i1.name, i2.name))
@@ -466,41 +522,70 @@ class BatchMatcher:
         # ≈ 150 MB). Hardware-measured on the 2812 mission: 789 pairs/s at
         # B=64 → 1041 at 128 → 1426 at 256 (one-time ~40 s compile, cached)
         B = max(cfg.batch_size, 256)
-        it = range(0, len(pairs), B)
+        # scan depth: S sub-batches per dispatch. The whole step (gathers +
+        # 2-NN + RANSAC) is ONE fused jit per group of S·B pairs
+        # (match_pair_batch_store_scan); on remote runtimes each avoided
+        # dispatch saves a host round trip
+        S = max(int(os.environ.get("IMGTPU_MATCH_SCAN", "0"))
+                or cfg.store_scan, 1)
+        group = B * S
+        it = range(0, len(pairs), group)
         if progress:
             try:
                 from tqdm import tqdm
                 it = tqdm(it, desc="match(store)",
-                          total=(len(pairs) + B - 1) // B)
+                          total=(len(pairs) + group - 1) // group)
             except ImportError:
                 pass
         # int8 store: the kernel dispatches on dtype; bf16 only matters for
         # the uint8/f32 store variants
         bf16 = self.store.dtype in ("uint8", "int8") or cfg.bf16
+        # the packed-int16 result requires npad < 32768 (store budget keeps
+        # npad ≤ 8192 in practice); in-kernel gating needs the packed-key
+        # kernel (npad ≤ 8192), same fallback rule as _dispatch
+        npad = self.store.npad
+        assert npad < 32768, "DescriptorStore npad exceeds int16 packing"
+        gated_eff = gated and (npad <= 8192 or not cfg.use_pallas)
         # optional device-side compaction (one [counts | row<<13|col entries]
-        # vector per batch) cuts the per-batch download ~4× — for slow-link
+        # vector per group) cuts the download ~4× — for slow-link
         # deployments where the transfer, not device compute, caps the store
-        # loop (MatchConfig.compact_downloads). cap is per BATCH: rare
+        # loop (MatchConfig.compact_downloads). cap is per GROUP: rare
         # overflows fall back to downloading the full array (kept alive on
         # device for exactly that case).
-        cap = B * 512 if (cfg.compact_downloads
-                          and self.store.npad < (1 << _COMPACT_BITS)) else 0
+        cap = group * 512 if (cfg.compact_downloads
+                              and npad < (1 << _COMPACT_BITS)) else 0
         n_matched = 0
         pending = None  # (chunk, packed device array, compact device array)
         for start in it:
-            chunk = pairs[start:start + B]
-            idx = np.zeros((B, 2), np.int32)
+            chunk = pairs[start:start + group]
+            idx = np.zeros((group, 2), np.int32)
             idx[: len(chunk)] = chunk
-            desc_a, uv_a, n_a = self.store.gather(idx[:, 0])
-            desc_b, uv_b, n_b = self.store.gather(idx[:, 1])
+            idx_a = jnp.asarray(idx[:, 0].reshape(S, B))
+            idx_b = jnp.asarray(idx[:, 1].reshape(S, B))
             # dummy padding slots match an image against itself; masked in
             # the compaction / dropped in the unpack
             self.key, sub = jax.random.split(self.key)
-            keys = jax.random.split(sub, B)
-            gate = self._pair_gate_arrays(chunk, B) if gated else None
-            dev = self._dispatch(desc_a, desc_b, uv_a, uv_b, n_a, n_b, keys,
-                                 bf16, gate=gate)
-            comp = _compact_packed(dev, len(chunk), cap) if cap else None
+            keys = jax.random.split(sub, group).reshape(S, B, 2)
+            if gated_eff:
+                cam_a, cam_b, gz = self._pair_gate_arrays(chunk, group)
+                gate_args = (jnp.asarray(cam_a.reshape(S, B, 7)),
+                             jnp.asarray(cam_b.reshape(S, B, 7)),
+                             jnp.asarray(gz.reshape(S, B)))
+            else:
+                gate_args = (None, None, None)
+            dev = match_pair_batch_store_scan(
+                self.store.desc, self.store.uv, self.store.counts,
+                idx_a, idx_b, keys, self.K, *gate_args,
+                ratio=cfg.ratio, thresh=self.thresh,
+                transform=self._dev_transform(), n_hyp=cfg.n_hyp,
+                use_pallas=cfg.use_pallas, bf16=bf16,
+                uint8_cast=self.store.dtype == "uint8",
+                gate_radius=(float(self.gate_radius) if gated_eff else 0.0),
+                gated=gated_eff)
+            # keep dev (S, B, npad) on device; the host reshapes AFTER
+            # download (an eager device reshape would cost a dispatch)
+            comp = (_compact_packed(dev.reshape(group, npad), len(chunk),
+                                    cap) if cap else None)
             if pending is not None:
                 n_matched += self._unpack_pending(pending, cap)
             pending = (chunk, dev, comp)
@@ -518,7 +603,10 @@ class BatchMatcher:
                     self.proj.image_list, chunk, counts,
                     buf[len(buf) - cap:], self.config.min_pairs,
                     post_filter=self._post_filter)
-        return _store_unpack(self.proj.image_list, chunk, np.asarray(dev),
+        packed = np.asarray(dev)
+        if packed.ndim == 3:            # (S, B, npad) scan-grouped result
+            packed = packed.reshape(-1, packed.shape[-1])
+        return _store_unpack(self.proj.image_list, chunk, packed,
                              self.config.min_pairs,
                              post_filter=self._post_filter)
 

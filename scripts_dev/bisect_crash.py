@@ -73,7 +73,7 @@ def refine(imgs):
 
             def per_image(dm, dc, dp, y_i, x_i, lvl=lvl):
                 def one(y, x):
-                    ds, dy, dx, c, e = S._refine((dm, dc, dp), y, x)
+                    ds, dy, dx, c, e, _yc, _xc = S._refine((dm, dc, dp), y, x)
                     return ds + dy + dx + c + e
                 return jax.vmap(one)(y_i, x_i)
             r = jax.vmap(per_image)(dog3[0], dog3[1], dog3[2], y_idx, x_idx)

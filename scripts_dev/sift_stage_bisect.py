@@ -64,7 +64,7 @@ def make(stage):
 
                 def per_image(dm, dc, dp, y_i, x_i, v_i, lvl=lvl):
                     def one(y, x, v):
-                        ds, dy, dx, c, e = S._refine((dm, dc, dp), y, x)
+                        ds, dy, dx, c, e, _yc, _xc = S._refine((dm, dc, dp), y, x)
                         ok = v & e & (jnp.abs(c) > S.CONTRAST_THRESH / S.N_SCALES)
                         sigma = S.SIGMA0 * (2.0 ** ((lvl - 1 + ds) / S.N_SCALES))
                         return dy, dx, sigma, c, ok

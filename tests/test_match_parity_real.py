@@ -85,9 +85,11 @@ def _our_matches(g1, g2):
     from imageanalysis_tpu.match.matcher import match_pair_batch
     from imageanalysis_tpu.ops import knn
 
-    kp1, _, d1 = sift_tpu.detect_and_compute(g1, max_features=3000,
+    # the production budget (features/detect.py default): cv2's side runs
+    # uncapped and lands near ~4000 kp on these frames, so equal budgets
+    kp1, _, d1 = sift_tpu.detect_and_compute(g1, max_features=4096,
                                              upsample=True)
-    kp2, _, d2 = sift_tpu.detect_and_compute(g2, max_features=3000,
+    kp2, _, d2 = sift_tpu.detect_and_compute(g2, max_features=4096,
                                              upsample=True)
     npad = 4096
     da = knn.pad_descriptors(jnp.asarray(d1), npad)[None]
