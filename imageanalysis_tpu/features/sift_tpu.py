@@ -268,32 +268,41 @@ def _refine(dog3, y, x):
 # Dense patch-based orientation + descriptor
 # ---------------------------------------------------------------------------
 
-def _extract_patches(img, yc, xc):
-    """Slice one PATCH×PATCH window per keypoint out of a (H, W) image.
+def _patch_for_level(lvl):
+    """Per-level patch size: the descriptor window radius is
+    round(3σ·√2·2.5) with σ = 1.6·2^((lvl−1+ds)/3), ds ∈ [−0.5, 0.5] —
+    level 1 needs ≤ 39 px, level 2 ≤ 50, level 3 ≤ 62. One max-size
+    patch for all levels made levels 1–2 spend 60–70% of the descriptor
+    stage (the detector's dominant slice) on masked-out zeros."""
+    return {1: 40, 2: 52}.get(lvl, PATCH)
+
+
+def _extract_patches(img, yc, xc, patch=PATCH):
+    """Slice one patch×patch window per keypoint out of a (H, W) image.
 
     Windows are clamped to the image (keypoints near a border get a
     shifted window — equivalent to cv2's skip-out-of-image-pixels rule
     once pixels are masked by absolute coordinates downstream).
-    Returns (patches (K, PATCH, PATCH), y0 (K,), x0 (K,))."""
+    Returns (patches (K, patch, patch), y0 (K,), x0 (K,))."""
     H, W = img.shape
-    if H < PATCH or W < PATCH:
-        img = jnp.pad(img, ((0, max(PATCH - H, 0)), (0, max(PATCH - W, 0))))
-    y0 = jnp.clip(yc - PATCH // 2, 0, max(H - PATCH, 0))
-    x0 = jnp.clip(xc - PATCH // 2, 0, max(W - PATCH, 0))
+    if H < patch or W < patch:
+        img = jnp.pad(img, ((0, max(patch - H, 0)), (0, max(patch - W, 0))))
+    y0 = jnp.clip(yc - patch // 2, 0, max(H - patch, 0))
+    x0 = jnp.clip(xc - patch // 2, 0, max(W - patch, 0))
     p = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
-        img, (y, x), (PATCH, PATCH)))(y0, x0)
+        img, (y, x), (patch, patch)))(y0, x0)
     return p, y0, x0
 
 
 def _patch_grads(patches, y0, x0, yc, xc, H, W):
     """Gradients + integer offsets for flattened patches.
 
-    patches: (N, PATCH, PATCH). Returns (mag, ang_deg, di, dj), each
-    (N, PATCH²): cv2-convention gradients dx = I(r,c+1)−I(r,c−1),
+    patches: (N, S, S). Returns (mag, ang_deg, di, dj), each
+    (N, S²): cv2-convention gradients dx = I(r,c+1)−I(r,c−1),
     dy = I(r−1,c)−I(r+1,c) (y up), angle in degrees [0, 360); pixels
     outside the valid gradient region of the *image* are masked to zero
     magnitude (cv2 iterates only r∈[1,rows−2], c∈[1,cols−2])."""
-    S = PATCH
+    S = patches.shape[-1]
     gx = jnp.zeros_like(patches)
     gx = gx.at[:, :, 1:-1].set(patches[:, :, 2:] - patches[:, :, :-2])
     gy = jnp.zeros_like(patches)
@@ -524,12 +533,13 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
             # --- dense patch stage: flatten (B, P) → N ------------------
             # patches center on the REFINED integer location (cv2 uses the
             # cvRound'ed final pt for calcSIFTDescriptor)
+            patch = _patch_for_level(lvl)
             patches, y0, x0 = jax.vmap(
-                lambda g, y, x: _extract_patches(g, y, x))(
+                lambda g, y, x: _extract_patches(g, y, x, patch))(
                 gs[lvl], yc, xc)
             N = B_ * y_idx.shape[1]
             mag, ang, di, dj = _patch_grads(
-                patches.reshape(N, PATCH, PATCH), y0.reshape(N),
+                patches.reshape(N, patch, patch), y0.reshape(N),
                 x0.reshape(N), yc.reshape(N), xc.reshape(N), H, W)
             # offsets are relative to the rounded center, as in cv2
             # (calcSIFTDescriptor uses cvRound'ed pt); the subpixel

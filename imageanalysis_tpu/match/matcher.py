@@ -38,7 +38,7 @@ class MatchConfig:
                  match_ratio=None, min_pairs=25, filter_thresh=None,
                  batch_size=16, n_hyp=512, detector_width=None, bf16=True,
                  use_pallas=None, seed=42, gate_radius_frac=0.2,
-                 compact_downloads=False, store_scan=1):
+                 compact_downloads=False, store_scan=4):
         self.strategy = strategy
         self.ratio = match_ratio if match_ratio is not None else ratio
         # homography|fundamental|essential|essential5|none — essential5 is
@@ -65,7 +65,10 @@ class MatchConfig:
         # links well under ~25 MB/s (e.g. DCN-attached storage hosts).
         self.compact_downloads = compact_downloads
         # store path: sub-batches fused per dispatch via lax.scan
-        # (IMGTPU_MATCH_SCAN env overrides)
+        # (IMGTPU_MATCH_SCAN env overrides). S=4 measured on hardware:
+        # 2125 pairs/s vs 1775 (eager double-buffered) / 1389 (fused S=1)
+        # at npad 4096 — the eager path's 7 dispatches/batch each pay the
+        # tunnel RTT (scripts_dev/match_store_phase_probe_r5.py)
         self.store_scan = store_scan
 
 

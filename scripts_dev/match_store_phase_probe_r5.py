@@ -156,7 +156,52 @@ def main(argv=None):
     _store_unpack(images, c, host, 25)
     t_unpack = time.perf_counter() - t0
 
+    # E: the r5 fused single-dispatch path (gathers + match in one jit,
+    # optional lax.scan sub-batching), double-buffered like production
+    from imageanalysis_tpu.match.matcher import match_pair_batch_store_scan
+
+    fused_kwargs = dict(ratio=0.75, thresh=7.9, transform="homography",
+                        n_hyp=512, use_pallas=kwargs["use_pallas"],
+                        bf16=True, uint8_cast=False, gate_radius=0.0,
+                        gated=False)
+    t_e = {}
+    for S in (1, 4):
+        grp_sz = S * B
+        flat_pairs = [p for c in pairs_per_chunk for p in c]
+        groups_l = [flat_pairs[i:i + grp_sz]
+                    for i in range(0, len(flat_pairs), grp_sz)]
+
+        def fused_dispatch(chunk, key, S=S):
+            idx = np.zeros((grp_sz, 2), np.int32)
+            idx[: len(chunk)] = chunk
+            keys = jax.random.split(key, grp_sz).reshape(S, B, 2)
+            return match_pair_batch_store_scan(
+                di8, uv, counts, jnp.asarray(idx[:, 0].reshape(S, B)),
+                jnp.asarray(idx[:, 1].reshape(S, B)), keys, K,
+                **fused_kwargs)
+
+        force(fused_dispatch(groups_l[0], jax.random.PRNGKey(9)))  # compile
+        for im in images:
+            im.match_list = {}
+        t0 = time.perf_counter()
+        pending = None
+        n_m2 = 0
+        for gi, grp in enumerate(groups_l):
+            dev = fused_dispatch(grp, jax.random.PRNGKey(400 + gi))
+            if pending is not None:
+                pc, pd = pending
+                n_m2 += _store_unpack(images, pc,
+                                      np.asarray(pd).reshape(-1, npad), 25)
+            pending = (grp, dev)
+        pc, pd = pending
+        n_m2 += _store_unpack(images, pc,
+                              np.asarray(pd).reshape(-1, npad), 25)
+        t_e[S] = time.perf_counter() - t0
+
     n_pairs = args.chunks * B
+    for S, te in t_e.items():
+        print(f"E fused scan S={S}: {te:.2f}s = {n_pairs / te:.0f} pairs/s",
+              flush=True)
     print(f"A dispatch-only: {t_a:.2f}s = {n_pairs / t_a:.0f} pairs/s",
           flush=True)
     print(f"B double-buffered: {t_b:.2f}s = {n_pairs / t_b:.0f} pairs/s "
