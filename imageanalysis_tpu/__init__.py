@@ -52,6 +52,12 @@ if _cache != "0":
             "~/.cache/imageanalysis_tpu/jaxcache")
         _os.makedirs(_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # threshold 0: cache EVERY executable. On remote/tunneled runtimes
+        # even a scalar `add` compile costs ~0.45 s of server round trip,
+        # and a pipeline run touches ~150 distinct tiny eager-op shapes —
+        # ~70 s of a warm 20-image mission wall was exactly these
+        # (LATENCY_20IMG.json decomposition). Measured: a process rerun
+        # drops 4.6 -> 0.9 s on a 3-op eager script once they cache.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # older jax without the knob — run uncached
         pass
