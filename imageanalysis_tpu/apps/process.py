@@ -383,6 +383,34 @@ def _run(args) -> int:
             result = result._replace(cams=new_cams, pts=new_pts)
         if rank0:
             ba_setup.write_back(proj, matches, result, cam_names, match_map)
+            # refresh the chains BA did NOT optimize (short chains +
+            # other groups) against the OPTIMIZED poses: BA leaves gauge
+            # drift along weakly-constrained modes (roll about a
+            # single-strip track), and points derived from the pre-BA
+            # poses then reproject arbitrarily badly under the new ones
+            # (12.5 px RMSE measured on group-0 2-chains). The reference
+            # ships with this artifact (its stale 2-chains measure
+            # 1.3 px); re-deriving is the fix its structure never had.
+            active = set(int(mi) for mi in match_map)
+            by_name = {im.name: i for i, im in enumerate(proj.image_list)}
+            opt_imgs = {by_name[n] for n in cam_names if n in by_name}
+            stale = [mi for mi, mm in enumerate(matches)
+                     if mi not in active
+                     and any(o[0] in opt_imgs for o in mm[2:])]
+            if stale:
+                from ..match.smart import SmartState
+                from ..surface import srtm
+                terrain = srtm.project_terrain(proj)
+                s_state = SmartState(proj.analysis_dir)
+
+                def base4(image, _s=s_state, _t=terrain):
+                    n = _s.node(image.name)
+                    if "tri_surface_m" in n:
+                        return n["tri_surface_m"]
+                    return _t.base_elevation(image)
+                cleanup.triangulate_ground(proj, matches,
+                                           get_base_elev=base4,
+                                           subset=stale, optimized=True)
             proj.save_matches_grouped(matches)
             log(f"BA finished: mre={result.mre:.3f}px over "
                 f"{len(cam_names)} cameras")

@@ -455,16 +455,20 @@ def _detect_batch(imgs, per_octave, n_octaves, upsample=True,
         imgs = imgs.astype(jnp.float32) / 255.0
     B = imgs.shape[0]
     thresh = 0.5 * CONTRAST_THRESH / N_SCALES
-    # area-weighted candidate budgets: octave o holds ~4^-o of the pixels,
-    # hence of the DoG extrema. A uniform per-octave budget starves the
-    # first octave — on real texture (bates.jpg @0.4) it truncated ~60% of
-    # the extrema cv2 keeps while later octaves wasted their slots (the
-    # r5 real-pair recall analysis); total candidate count (and so patch/
-    # descriptor work) is unchanged, only its distribution.
+    # candidate budgets: blend of area weighting (octave o holds ~4^-o of
+    # the pixels, hence of the DoG extrema) and uniform. Pure uniform
+    # starves the first octave on real texture — bates.jpg @0.4 truncated
+    # ~60% of the extrema cv2 keeps (1608 vs 3979 kp) while later octaves
+    # wasted their slots; pure area weighting starves the DEEP octaves on
+    # low-detail texture — the 300-image synthetic parity mission lost
+    # 3.4× of its matches because its stable features live at coarser
+    # scales. The 50/50 blend keeps both regimes: total candidate count
+    # (and so patch/descriptor work) is unchanged, only its distribution.
     total = per_octave * n_octaves
-    w = [4.0 ** -o for o in range(n_octaves)]
-    sw = sum(w)
-    per_level_oct = [max(int(round(total * wi / (sw * N_SCALES))), 32)
+    area = [4.0 ** -o for o in range(n_octaves)]
+    sa = sum(area)
+    w = [0.5 * a / sa + 0.5 / n_octaves for a in area]
+    per_level_oct = [max(int(round(total * wi / N_SCALES)), 32)
                      for wi in w]
 
     if upsample:

@@ -189,13 +189,24 @@ def link_matches(proj):
     return matches
 
 
-def triangulate_ground(proj, matches, get_base_elev=None):
+def triangulate_ground(proj, matches, get_base_elev=None, subset=None,
+                       optimized=False):
     """Initial 3D estimate: average per-observation ground intersection
     (reference match_cleanup.py:303-347). Batched on device.
 
     get_base_elev(image) → terrain elevation (m MSL, positive up) under the
     image; defaults to the smart/SRTM estimate when available, else 0.
-    """
+
+    subset: optional iterable of chain indices — only those chains are
+    recomputed (others untouched). optimized=True reads each image's
+    optimized camera pose when valid (raw otherwise, reference
+    image.py:462-481 semantics). Together these serve the post-BA
+    refresh: chains BA did not optimize keep points derived from the
+    PRE-BA poses, and any gauge drift BA leaves along weakly-constrained
+    modes (e.g. roll about a single-strip track — position-bounded but
+    attitude-free) makes those stale points reproject arbitrarily badly
+    under the optimized poses (measured 12.5 px RMSE on group-0 2-chains
+    vs 0.3 on BA-active chains, PARITY_r5 analysis)."""
     import jax.numpy as jnp
     from ..core.camera import intersect_ground_plane, pixel_vectors_ned, undistort_pixels
     from ..core.rotations import quat_to_matrix
@@ -209,7 +220,8 @@ def triangulate_ground(proj, matches, get_base_elev=None):
     cam_quat = np.zeros((n_img, 4), np.float32)
     base_elev = np.zeros(n_img, np.float32)
     for i, image in enumerate(proj.image_list):
-        ned, _, quat = image.get_camera_pose()
+        opt = optimized and image.has_opt_pose()
+        ned, _, quat = image.get_camera_pose(opt=opt)
         cam_ned[i] = ned
         cam_quat[i] = quat
         elev = float(get_base_elev(image)) if get_base_elev else 0.0
@@ -240,6 +252,15 @@ def triangulate_ground(proj, matches, get_base_elev=None):
         obs_img = np.asarray(obs_img, np.int32)
         obs_uv = np.asarray(obs_uv, np.float32)
         obs_match = np.asarray(obs_match, np.int64)
+    if subset is not None:
+        keep = np.zeros(len(matches), bool)
+        idx = np.fromiter(subset, dtype=np.int64)
+        if len(idx):
+            keep[idx] = True
+        sel = keep[obs_match]
+        obs_img, obs_uv, obs_match = obs_img[sel], obs_uv[sel], \
+            obs_match[sel]
+        total_obs = int(sel.sum())
     if total_obs == 0:
         return matches
 

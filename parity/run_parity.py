@@ -558,12 +558,15 @@ def main(argv=None):
     result["gate_rmse_ours_le_ref"] = bool(
         result["rmse_ba_active_ours_px"]
         <= result["rmse_ba_active_ref_px"] + 1e-6)
-    # selection-controlled variant: ours' full-set RMSE must also beat the
-    # reference's best-n_ours subset (maximally favorable to the reference)
+    # selection-controlled variant (VERDICT r4 weak #4): compare on
+    # CORRESPONDING observations — same image, raw uv within 2 px — so a
+    # win can't come from one side keeping fewer/easier observations.
+    # (rmse_ref_at_ours_coverage_px stays reported: as an order-statistic
+    # trim it over-flatters whichever side has more observations.)
+    co = result["rmse_common_obs_ba_active"]
     result["gate_rmse_obs_controlled"] = bool(
-        result["rmse_ref_at_ours_coverage_px"] is not None
-        and result["rmse_ba_active_ours_px"]
-        <= result["rmse_ref_at_ours_coverage_px"] + 1e-6)
+        co is not None
+        and co["rmse_ours_px"] <= co["rmse_ref_px"] + 1e-6)
     result["gate_pair_graph"] = bool(result["pair_jaccard"] >= 0.75)
     both = [result["gt_inlier_frac_ours_median"],
             result["gt_inlier_frac_ref_median"]]
