@@ -259,14 +259,52 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
         scaled, full_size = load_scaled_gray(
             proj.image_path(image), config.scale,
             equalize=config.equalize and not device_clahe)
-        if use_async:
-            # upload from the loader thread: the H2D copy then pipelines
-            # ahead of the device queue instead of serializing inside the
-            # dispatch (tunnel runtimes: upload+compute+download ran
-            # back-to-back, 185 ms/img of which 173 ms was finalize wait)
-            import jax
-            scaled = jax.device_put(scaled)
         return image, scaled, full_size
+
+    # transport codec trades loader-thread CPU for wire bytes — a win on
+    # tunneled/remote device topologies (where the upload is the detect
+    # floor), a pure pessimization on local devices. Auto: on iff the
+    # backend is a real TPU; IMGTPU_DETECT_COMPRESS=1/0 forces.
+    import os as _os
+    _codec_env = _os.environ.get("IMGTPU_DETECT_COMPRESS", "")
+    if _codec_env in ("0", "1"):
+        use_codec = _codec_env == "1"
+    else:
+        try:
+            import jax as _jax
+            use_codec = (config.backend == "tpu"
+                         and _jax.default_backend() == "tpu")
+        except Exception:
+            use_codec = False
+
+    def load_batch(images, pad_to):
+        """Decode a whole device batch and upload it as ONE transfer set
+        from the loader thread. One upload + one dispatch per batch
+        instead of B device_puts + an eager device-side stack: on the
+        ~37 MB/s tunnel the upload is the detect steady-state floor, and
+        every extra per-batch call is another ~28 ms RTT queue entry.
+
+        When the transport codec applies (features/transport.py — smooth
+        imagery packs to ~0.55 B/px; noisy frames fall back to raw), the
+        batch ships as (nib, idx, val) planes instead of raw pixels."""
+        import jax
+        loaded = [load(im) for im in images]
+        arrs = [s for (_, s, _) in loaded]
+        if len(arrs) < pad_to:        # short tail: repeat so every
+            arrs += [arrs[-1]] * (pad_to - len(arrs))  # dispatch shares one
+        imgs_b = [im for (im, _, _) in loaded]
+        sizes = [fs for (_, _, fs) in loaded]
+        if use_codec:
+            from .transport import pack_gray
+            packs = [pack_gray(a) for a in arrs]
+            if all(p is not None for p in packs):
+                nib = jax.device_put(np.stack([p[0] for p in packs]))
+                idx = jax.device_put(np.stack([p[1] for p in packs]))
+                val = jax.device_put(np.stack([p[2] for p in packs]))
+                return (imgs_b, ("codec", (nib, idx, val), arrs[0].shape),
+                        sizes)
+        dev = jax.device_put(np.stack(arrs))           # compiled shape
+        return imgs_b, ("raw", dev, arrs[0].shape), sizes
 
     def store(image, kp, kp_meta, des):
         image.kp, image.kp_meta, image.des = kp, kp_meta, des
@@ -274,29 +312,45 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
         image.save_descriptors()
         image.save_meta()
 
-    it = todo
-    if progress:
-        try:
-            from tqdm import tqdm
-            it = tqdm(todo, desc="detect")
-        except ImportError:
-            pass
     use_async = config.backend == "tpu"
     if use_async:
         from . import sift_tpu
 
+    bar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=len(todo), desc="detect")
+        except ImportError:
+            pass
+
+    LAST_DETECT_TICK_S.clear()
+    t_prev = _time.perf_counter()
+
+    def tick(names, n):
+        nonlocal t_prev
+        now = _time.perf_counter()
+        dt = now - t_prev
+        t_prev = now
+        LAST_DETECT_TICK_S.append(dt)
+        if dt > STALL_TICK_S:
+            log(f"detect: STALL {dt:.1f}s on tick for {names} "
+                f"(TPU-worker wedge?) — recorded for the bench watchdog")
+        if bar is not None:
+            bar.update(n)
+
+    def check_size(image, w, h):
+        image.set_size(w, h)
+        if cam_w and (w != cam_w or h != cam_h):
+            raise RuntimeError(
+                f"image dimensions {w}x{h} do not match camera config "
+                f"{cam_w}x{cam_h} — fix the camera config vs image size "
+                f"issue (reference image.py:300-306)")
+
+    from collections import deque
     with cf.ThreadPoolExecutor(max_workers=prefetch) as loaders, \
             cf.ThreadPoolExecutor(max_workers=2) as writers:
         pending = []
-        window = []                       # bounded: ~prefetch decoded images
-        src = iter(todo)
-        for im in todo[:prefetch * 2]:
-            window.append(loaders.submit(load, im))
-            next(src)
-        inflight = None                   # (images, packed result, scale)
-        batch_imgs = []                   # accumulating device batch
-        batch_scaled = []
-        dbatch = 0
 
         def finalize(item):
             imgs_b, packed, scale = item
@@ -305,68 +359,77 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
                 pending.append(writers.submit(
                     store, image, kp / scale, kp_meta, des))
 
-        def flush():
-            nonlocal inflight
-            if not batch_scaled:
-                return
-            # pad short tails with a repeat so every dispatch shares one
-            # compiled shape; finalize zips against the real image list
-            scaled_pad = batch_scaled + \
-                [batch_scaled[-1]] * (dbatch - len(batch_scaled))
-            packed = sift_tpu.detect_dispatch(
-                scaled_pad, config.max_features or 4096,
-                equalize=device_clahe)
-            if inflight is not None:
-                finalize(inflight)
-            inflight = (list(batch_imgs), packed, config.scale)
-            batch_imgs.clear()
-            batch_scaled.clear()
-
-        LAST_DETECT_TICK_S.clear()
-        t_prev = _time.perf_counter()
-        for _tick in it:
-            fut = window.pop(0)
-            for im in src:
+        if use_async:
+            # batch shape policy needs the scaled frame size; decode the
+            # first image once for it (header-size predictions mispredict
+            # cv2's resize rounding)
+            _, _first_scaled, _ = load(todo[0])
+            dbatch = config.device_batch or \
+                _auto_device_batch(_first_scaled.shape)
+            del _first_scaled
+            batches = [todo[i:i + dbatch]
+                       for i in range(0, len(todo), dbatch)]
+            # inflight depth 2: finalize batch N-2 (download + host store)
+            # while batch N computes and batch N+1's upload streams — the
+            # ~37 MB/s tunnel upload is the steady-state floor, so it must
+            # overlap compute, not serialize with it
+            depth = 2
+            nload = max(2, (prefetch * 2 + dbatch - 1) // dbatch)
+            window = deque()
+            src = iter(batches)
+            for b in batches[:nload]:
+                window.append(loaders.submit(load_batch, b, dbatch))
+                next(src)
+            inflight = deque()
+            for _ in range(len(batches)):
+                fut = window.popleft()
+                for b in src:
+                    window.append(loaders.submit(load_batch, b, dbatch))
+                    break
+                imgs_b, payload, sizes = fut.result()
+                for image, (w, h) in zip(imgs_b, sizes):
+                    qlog("Detecting features/descriptors for:", image.name)
+                    check_size(image, w, h)
+                kind, data, shape = payload
+                if kind == "codec":
+                    packed = sift_tpu.detect_dispatch_codec(
+                        *data, shape, config.max_features or 4096,
+                        equalize=device_clahe)
+                else:
+                    packed = sift_tpu.detect_dispatch(
+                        data, config.max_features or 4096,
+                        equalize=device_clahe)
+                inflight.append((imgs_b, packed, config.scale))
+                if len(inflight) > depth:
+                    finalize(inflight.popleft())
+                tick([im.name for im in imgs_b], len(imgs_b))
+            while inflight:
+                finalize(inflight.popleft())
+        else:
+            window = deque()
+            src = iter(todo)
+            for im in todo[:prefetch * 2]:
                 window.append(loaders.submit(load, im))
-                break
-            image, scaled, (w, h) = fut.result()
-            qlog("Detecting features/descriptors for:", image.name)
-            image.set_size(w, h)
-            if cam_w and (w != cam_w or h != cam_h):
-                raise RuntimeError(
-                    f"image dimensions {w}x{h} do not match camera config "
-                    f"{cam_w}x{cam_h} — fix the camera config vs image size "
-                    f"issue (reference image.py:300-306)")
-            if use_async:
-                # double-buffer: dispatch this batch, then download the
-                # previous one while the device works — overlaps the
-                # tunnel transfer + host store with device compute
-                if not dbatch:
-                    dbatch = config.device_batch or \
-                        _auto_device_batch(scaled.shape)
-                batch_imgs.append(image)
-                batch_scaled.append(scaled)
-                if len(batch_scaled) >= dbatch:
-                    flush()
-            else:
+                next(src)
+            for _ in range(len(todo)):
+                fut = window.popleft()
+                for im in src:
+                    window.append(loaders.submit(load, im))
+                    break
+                image, scaled, (w, h) = fut.result()
+                qlog("Detecting features/descriptors for:", image.name)
+                check_size(image, w, h)
                 kp, kp_meta, des = detect_scaled(scaled, config)
                 pending.append(writers.submit(
                     store, image, kp / config.scale, kp_meta, des))
-            now = _time.perf_counter()
-            tick = now - t_prev
-            t_prev = now
-            LAST_DETECT_TICK_S.append(tick)
-            if tick > STALL_TICK_S:
-                log(f"detect: STALL {tick:.1f}s on tick for {image.name} "
-                    f"(TPU-worker wedge?) — recorded for the bench watchdog")
-        flush()
-        if inflight is not None:
-            finalize(inflight)
+                tick(image.name, 1)
         for p in pending:
             p.result()
         tail = _time.perf_counter() - t_prev
         if LAST_DETECT_TICK_S:
             LAST_DETECT_TICK_S[-1] += tail   # drain time of the last batch
+    if bar is not None:
+        bar.close()
     if n_proc > 1:
         from ..parallel import multihost
         multihost.barrier("detect")

@@ -631,6 +631,60 @@ def _pack_detect(kp, meta, desc, valid):
     return jnp.concatenate([head_i, v, d4], axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("per_octave", "n_octaves",
+                                             "upsample", "out_slots",
+                                             "equalize"))
+def _detect_packed_fused(chunk, per_octave, n_octaves, upsample, out_slots,
+                         equalize):
+    """ONE executable for the whole detect dispatch: device CLAHE +
+    DoG/SIFT + output packing.
+
+    The split pipeline (eager stack → clahe jit → _detect_batch jit →
+    _pack_detect jit) cost 3 separate executables per batch. On this
+    tunneled runtime each executable pays its own per-process
+    first-dispatch warmup (~30 s each — the dominant slice of the ~100 s
+    mission detect warmup excess) and each call is another queue entry on
+    a ~28 ms RTT link. Fusing also lets XLA overlap the CLAHE histogram
+    pass with the pyramid setup."""
+    if equalize:
+        from ..ops.clahe import clahe as _clahe
+        chunk = _clahe(chunk)
+    outs = _detect_batch(chunk, per_octave, n_octaves, upsample=upsample,
+                         out_slots=out_slots)
+    return _pack_detect(*outs)
+
+
+@functools.partial(jax.jit, static_argnames=("per_octave", "n_octaves",
+                                             "upsample", "out_slots",
+                                             "equalize"))
+def _detect_packed_fused_codec(nib, idx, val, per_octave, n_octaves,
+                               upsample, out_slots, equalize):
+    """Fused detect executable whose input is the transport-codec payload
+    (features/transport.py): decode (unpack + escape scatter + row
+    cumsum) happens on device, so the wire carries ~0.55 B/px instead of
+    1 — below the detect kernel's compute on the ~37 MB/s tunnel."""
+    from .transport import unpack_gray_batch
+    chunk = unpack_gray_batch(nib, idx, val)
+    return _detect_packed_fused(chunk, per_octave, n_octaves,
+                                upsample=upsample, out_slots=out_slots,
+                                equalize=equalize)
+
+
+def detect_dispatch_codec(nib, idx, val, shape, max_features=4096,
+                          upsample=True, equalize=False):
+    """detect_dispatch twin for codec-packed batches. nib/idx/val are the
+    (possibly already device_put) stacked transport payload; shape is the
+    decoded (H, W)."""
+    H, W = shape
+    base_min = min(H, W) * (2 if upsample else 1)
+    n_octaves = max(int(math.log2(base_min / 32.0)), 1)
+    per_octave = max(max_features // n_octaves, 64)
+    return _detect_packed_fused_codec(nib, idx, val, per_octave, n_octaves,
+                                      upsample=upsample,
+                                      out_slots=int(max_features),
+                                      equalize=equalize)
+
+
 def detect_dispatch(grays, max_features=4096, upsample=True,
                     equalize=False):
     """Dispatch one image's — or a small batch of same-shape images' —
@@ -674,16 +728,14 @@ def detect_dispatch(grays, max_features=4096, upsample=True,
     base_min = min(H, W) * (2 if upsample else 1)
     n_octaves = max(int(math.log2(base_min / 32.0)), 1)
     per_octave = max(max_features // n_octaves, 64)
-    if equalize:
-        if chunk.dtype != jnp.uint8:
-            raise ValueError("device CLAHE needs uint8 input")
-        from ..ops.clahe import clahe
-        chunk = clahe(chunk)
+    if equalize and chunk.dtype != jnp.uint8:
+        raise ValueError("device CLAHE needs uint8 input")
     if chunk.dtype == jnp.float32:
         chunk = chunk / 255.0
-    outs = _detect_batch(chunk, per_octave, n_octaves, upsample=upsample,
-                         out_slots=int(max_features))
-    return _pack_detect(*outs)
+    return _detect_packed_fused(chunk, per_octave, n_octaves,
+                                upsample=upsample,
+                                out_slots=int(max_features),
+                                equalize=equalize)
 
 
 def detect_finalize(outs):
