@@ -131,9 +131,17 @@ def main(argv=None):
 
     import jax
 
-    t0 = time.perf_counter()
+    # backend attach is environment startup, not pipeline work: a worker
+    # still settling from a prior job has made this take 100+ s (r5 run 2
+    # measured 134 s of attach inside the old timed window, masking a
+    # 733 s pipeline as 867 s). Attach first, report it separately.
+    t_attach = time.perf_counter()
     detector = ("TPU" if jax.default_backend() == "tpu"
                 else "SIFT")
+    jax.devices()
+    attach_s = time.perf_counter() - t_attach
+
+    t0 = time.perf_counter()
     rc = process.main([proj_dir, "--camera", "Synthetic_TestCam_none",
                        "--camera-db", db_dir, "--scale", str(args.scale),
                        "--ground", "0.0", "--batch-size", "32",
@@ -251,6 +259,7 @@ def main(argv=None):
         "image_size": [args.width, args.height],
         "backend": jax.default_backend(),
         "generate_s": round(gen_s, 1),
+        "backend_attach_s": round(attach_s, 1),
         "pipeline_total_s": round(total_s, 1),
         "detect_s": round(detect_s, 1),
         "detect_s_per_img": round(detect_s / args.n_images, 3),

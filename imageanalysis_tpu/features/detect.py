@@ -373,7 +373,7 @@ def detect_project_features(proj, config: DetectorConfig, use_cache=True,
             # while batch N computes and batch N+1's upload streams — the
             # ~37 MB/s tunnel upload is the steady-state floor, so it must
             # overlap compute, not serialize with it
-            depth = 2
+            depth = int(_os.environ.get("IMGTPU_DETECT_DEPTH", "2"))
             nload = max(2, (prefetch * 2 + dbatch - 1) // dbatch)
             window = deque()
             src = iter(batches)

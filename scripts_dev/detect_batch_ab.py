@@ -32,7 +32,7 @@ def main():
     full = list(proj.image_list)
     print(f"{len(full)} images; timing {n} per config", flush=True)
 
-    for dbatch in (1, 2, 4):
+    for dbatch in (8, 8):
         proj.image_list = full[:n]
         cfg = detect.DetectorConfig(backend="tpu", scale=1.0,
                                     max_features=4096, equalize=True,
